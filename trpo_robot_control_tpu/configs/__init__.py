@@ -1,0 +1,102 @@
+"""The five driver experiment configs (BASELINE.json "configs" list).
+
+c1: 2-link planar reacher, 64 envs, horizon 50   (oracle-parity config)
+c2: 3-link reacher, 1024 envs, horizon 100       (single-chip fused FVP/CG)
+c3: 7-DoF Franka-like, 4096 envs, horizon 200    (Pallas rollout + FVP, 1 host)
+c4: 7-DoF + obstacle cost, 16k envs, 2 hosts     (psum-reduced CG)
+c5: multi-task suite, 64k envs                   (full training run)
+"""
+from __future__ import annotations
+
+import math
+
+from .base import (ArmSpec, CostSpec, ExperimentConfig, JointSpec, LinkSpec,
+                   TRPOSpec, planar_arm)
+
+_PI = math.pi
+
+
+def franka_like_arm(**kw) -> ArmSpec:
+    """7-DoF arm with Franka-Panda-like kinematics (URDF-style joint
+    origins; masses/inertias are plausible, not identified values).
+
+    All joints revolute about the local z-axis after the fixed transform.
+    """
+    joints = (
+        JointSpec(pos=(0.0, 0.0, 0.333)),
+        JointSpec(pos=(0.0, 0.0, 0.0), rpy=(-_PI / 2, 0.0, 0.0)),
+        JointSpec(pos=(0.0, -0.316, 0.0), rpy=(_PI / 2, 0.0, 0.0)),
+        JointSpec(pos=(0.0825, 0.0, 0.0), rpy=(_PI / 2, 0.0, 0.0)),
+        JointSpec(pos=(-0.0825, 0.384, 0.0), rpy=(-_PI / 2, 0.0, 0.0)),
+        JointSpec(pos=(0.0, 0.0, 0.0), rpy=(_PI / 2, 0.0, 0.0)),
+        JointSpec(pos=(0.088, 0.0, 0.0), rpy=(_PI / 2, 0.0, 0.0)),
+    )
+    masses = (4.97, 0.647, 3.23, 3.59, 1.23, 1.67, 0.735)
+    coms = (
+        (0.0, -0.03, -0.08), (0.0, -0.07, 0.03), (0.03, 0.03, -0.07),
+        (-0.05, 0.10, 0.0), (0.0, 0.03, -0.10), (0.06, 0.0, 0.0),
+        (0.0, 0.0, 0.08),
+    )
+    links = tuple(
+        LinkSpec(mass=m, com=c,
+                 inertia_diag=(0.02 * m, 0.02 * m, 0.01 * m))
+        for m, c in zip(masses, coms)
+    )
+    base = dict(joints=joints, links=links, ee_offset=(0.0, 0.0, 0.107),
+                gravity=9.81, joint_damping=0.5, dt=0.02, n_substeps=2,
+                torque_limit=20.0, q0_noise=0.2, qd0_noise=0.005,
+                target_rmin_frac=0.25, target_rmax_frac=0.7)
+    base.update(kw)
+    return ArmSpec(**base)
+
+
+C1_REACHER2 = ExperimentConfig(
+    name="c1_reacher2",
+    arm=planar_arm(2),
+    cost=CostSpec(ctrl_weight=0.01),
+    trpo=TRPOSpec(),
+    n_envs=64, horizon=50, n_iters=100, seed=0,
+)
+
+C2_REACHER3 = ExperimentConfig(
+    name="c2_reacher3",
+    arm=planar_arm(3),
+    cost=CostSpec(ctrl_weight=0.01),
+    trpo=TRPOSpec(),
+    n_envs=1024, horizon=100, n_iters=200, seed=0,
+)
+
+C3_FRANKA7 = ExperimentConfig(
+    name="c3_franka7",
+    arm=franka_like_arm(),
+    cost=CostSpec(ctrl_weight=0.001),
+    trpo=TRPOSpec(),
+    n_envs=4096, horizon=200, n_iters=300, seed=0,
+)
+
+C4_FRANKA7_OBSTACLE = ExperimentConfig(
+    name="c4_franka7_obstacle",
+    arm=franka_like_arm(),
+    cost=CostSpec(ctrl_weight=0.001, obstacle_weight=1.0,
+                  obstacle_radius=0.15),
+    trpo=TRPOSpec(),
+    n_envs=16384, horizon=200, n_iters=300, seed=0,
+)
+
+C5_MULTITASK = ExperimentConfig(
+    name="c5_multitask",
+    arm=franka_like_arm(),
+    cost=CostSpec(ctrl_weight=0.001),
+    trpo=TRPOSpec(),
+    n_envs=65536, horizon=200, n_iters=500, seed=0,
+    n_tasks=3,
+)
+
+CONFIGS = {c.name: c for c in
+           (C1_REACHER2, C2_REACHER3, C3_FRANKA7, C4_FRANKA7_OBSTACLE,
+            C5_MULTITASK)}
+
+__all__ = ["ArmSpec", "CostSpec", "ExperimentConfig", "JointSpec",
+           "LinkSpec", "TRPOSpec", "planar_arm", "franka_like_arm",
+           "C1_REACHER2", "C2_REACHER3", "C3_FRANKA7",
+           "C4_FRANKA7_OBSTACLE", "C5_MULTITASK", "CONFIGS"]

@@ -1,0 +1,151 @@
+"""Experiment configuration dataclasses.
+
+Single source of truth for every frozen constant in the engine. Both the
+fp64 NumPy oracle (``oracle/``) and the JAX/TPU engine import these specs,
+so the parity contract (SURVEY.md section 4) cannot drift between the two.
+
+Plain Python only — no JAX imports — so the oracle stays JAX-free.
+
+Reference parity note: the reference mount (/root/reference) was empty at
+survey time (SURVEY.md section 0), so constants here are frozen from the
+algorithm spec in SURVEY.md section 4 ([A]/[D] provenance) and define the
+contract the oracle implements.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+@dataclass(frozen=True)
+class JointSpec:
+    """One revolute joint: a fixed transform from the parent link frame to
+    the joint frame, then a variable rotation about the joint frame z-axis.
+
+    ``pos``: translation (in the parent link frame) from the parent joint
+    to this joint. ``rpy``: fixed roll/pitch/yaw applied after ``pos``.
+    """
+
+    pos: Vec3
+    rpy: Vec3 = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class LinkSpec:
+    """Rigid body attached to (and expressed in) its joint frame."""
+
+    mass: float
+    com: Vec3                 # centre of mass in the link frame
+    inertia_diag: Vec3        # principal inertia about the COM, link frame
+
+
+@dataclass(frozen=True)
+class ArmSpec:
+    """A fixed-base serial manipulator plus its simulation parameters."""
+
+    joints: Tuple[JointSpec, ...]
+    links: Tuple[LinkSpec, ...]
+    ee_offset: Vec3            # end-effector point in the last link frame
+    gravity: float = 0.0       # acceleration along world -z (0 => planar/horizontal)
+    joint_damping: float = 0.05
+    dt: float = 0.05
+    n_substeps: int = 1
+    torque_limit: float = 2.0
+    qd_limit: float = 20.0     # hard clip on joint velocity (stability at fp32)
+    # Initial-state distribution
+    q0_noise: float = 0.1
+    qd0_noise: float = 0.005
+    # Target sampling: uniform annulus fractions of total reach
+    target_rmin_frac: float = 0.25
+    target_rmax_frac: float = 0.85
+    # Observation scaling for joint velocities (keeps features bounded)
+    qd_obs_scale: float = 0.1
+
+    @property
+    def n_joints(self) -> int:
+        return len(self.joints)
+
+    @property
+    def reach(self) -> float:
+        """Total reach: sum of joint offsets + ee offset magnitudes."""
+        r = sum(math.sqrt(j.pos[0] ** 2 + j.pos[1] ** 2 + j.pos[2] ** 2)
+                for j in self.joints[1:])
+        r += math.sqrt(sum(v * v for v in self.ee_offset))
+        return r
+
+    @property
+    def obs_dim(self) -> int:
+        # [cos q, sin q, qd * qd_obs_scale, (p_tgt - p_ee) in 3D]
+        return 3 * self.n_joints + 3
+
+
+@dataclass(frozen=True)
+class CostSpec:
+    """Quadratic reaching cost: r = -(|p_ee - p_tgt|^2 + w |tau|^2)."""
+
+    ctrl_weight: float = 0.01
+    # Obstacle avoidance (config 4): smooth penalty w_obs * softplus-like
+    # barrier on sphere obstacles; inactive when obstacle_weight == 0.
+    obstacle_weight: float = 0.0
+    obstacle_radius: float = 0.15
+
+
+@dataclass(frozen=True)
+class TRPOSpec:
+    """TRPO hyper-parameters (SURVEY.md section 4 step list)."""
+
+    delta: float = 0.01            # trust region (max mean KL)
+    gamma: float = 0.99
+    lam: float = 0.97
+    cg_damping: float = 0.1
+    cg_iters: int = 10
+    ls_steps: int = 10             # backtracking exponents k = 0..ls_steps-1
+    ls_backtrack: float = 0.5
+    hidden: Tuple[int, ...] = (64, 64)
+    logstd_init: float = -0.5
+    baseline_reg: float = 1e-3     # ridge for the linear value baseline
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    arm: ArmSpec
+    cost: CostSpec
+    trpo: TRPOSpec
+    n_envs: int
+    horizon: int
+    n_iters: int = 100
+    seed: int = 0
+    # multi-task (config 5): number of goal families mixed per batch.
+    # 1 = reach only; 3 = reach / track / push (see envs/costs.py).
+    n_tasks: int = 1
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def planar_arm(n_links: int,
+               link_length: float = 0.5,
+               link_mass: float = 1.0,
+               **kw) -> ArmSpec:
+    """Planar horizontal n-link arm: all joints rotate about world z.
+
+    Link i is a uniform thin rod of length ``link_length`` along its local
+    x-axis; the next joint sits at its far end. Gravity defaults to 0
+    (horizontal plane), matching a MuJoCo-style "reacher".
+    """
+    joints = [JointSpec(pos=(0.0, 0.0, 0.0))]
+    joints += [JointSpec(pos=(link_length, 0.0, 0.0)) for _ in range(n_links - 1)]
+    izz = link_mass * link_length ** 2 / 12.0
+    links = tuple(
+        LinkSpec(mass=link_mass,
+                 com=(link_length / 2.0, 0.0, 0.0),
+                 inertia_diag=(1e-6, izz, izz))
+        for _ in range(n_links)
+    )
+    return ArmSpec(joints=tuple(joints), links=links,
+                   ee_offset=(link_length, 0.0, 0.0), **kw)
