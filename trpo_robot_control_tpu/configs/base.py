@@ -88,10 +88,17 @@ class CostSpec:
     """Quadratic reaching cost: r = -(|p_ee - p_tgt|^2 + w |tau|^2)."""
 
     ctrl_weight: float = 0.01
-    # Obstacle avoidance (config 4): smooth penalty w_obs * softplus-like
-    # barrier on sphere obstacles; inactive when obstacle_weight == 0.
+    # Obstacle avoidance (config 4): smooth contact-free penalty
+    # w_obs * relu(r_obs - d)^2 summed over joint origins + EE, for a
+    # sphere at obstacle_center; inactive when obstacle_weight == 0.
     obstacle_weight: float = 0.0
     obstacle_radius: float = 0.15
+    obstacle_center: Vec3 = (0.3, 0.0, 0.45)
+    # Track task (multi-task family 1): target orbits world z at this rate.
+    track_omega: float = 0.5
+    # Push task (family 2): EE velocity should match v_push * dir(to tgt).
+    push_speed: float = 0.3
+    push_weight: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -126,6 +133,11 @@ class ExperimentConfig:
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def obs_dim(self) -> int:
+        """Arm observation + task one-hot when multi-task (n_tasks > 1)."""
+        return self.arm.obs_dim + (self.n_tasks if self.n_tasks > 1 else 0)
 
 
 def planar_arm(n_links: int,

@@ -1,0 +1,128 @@
+"""The TRPO natural-gradient update — one traced function, fully on-device
+(SURVEY.md sections 4, 5.1). Mirrors oracle/trpo.py:trpo_update step for
+step; parity is enforced by tests/test_parity.py (cosine(x) >= 0.999,
+|beta| rel err <= 1e-3, same accepted line-search exponent).
+
+All batch reductions go through `_pmean`/`_psum` keyed on an optional mesh
+axis name, so the SAME code runs single-device (axis_name=None) and under
+`shard_map` over the 'data' axis (parallel/mesh.py) — the collectives are
+the only difference (SURVEY.md section 7 "Distributed communication").
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..configs.base import ExperimentConfig
+from ..models import baseline, policy
+from ..ops.cg import conjugate_gradient
+from ..ops.fvp import make_gn_fvp, make_kl_fvp
+from ..ops.gae import gae
+from ..ops.linesearch import line_search
+
+
+def _pmean(x, axis_name):
+    return jax.lax.pmean(x, axis_name) if axis_name else x
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def trpo_update(cfg: ExperimentConfig, params, w, batch,
+                axis_name: Optional[str] = None,
+                fvp_form: str = "gn",
+                return_directions: bool = False):
+    """One TRPO update on a collected batch.
+
+    batch: dict(obs (N,T,do), actions (N,T,da), rewards (N,T)) — the LOCAL
+    shard when running under shard_map.
+    Returns (new_params, new_w, stats).
+    """
+    tr = cfg.trpo
+    obs, actions, rewards = batch["obs"], batch["actions"], batch["rewards"]
+    N, T, do = obs.shape
+    da = actions.shape[-1]
+    B = N * T
+
+    # ---- 1) values (old baseline) -> GAE -> whiten -> targets -> refit
+    phi = baseline.features(obs, cfg.horizon)
+    values = baseline.predict(w, phi)
+    adv_raw = gae(rewards, values, tr.gamma, tr.lam)
+
+    m1 = _pmean(jnp.mean(adv_raw), axis_name)
+    m2 = _pmean(jnp.mean(adv_raw ** 2), axis_name)
+    std = jnp.sqrt(jnp.maximum(m2 - m1 ** 2, 0.0))
+    adv = (adv_raw - m1) / (std + 1e-8)
+    targets = adv_raw + values
+
+    F = phi.shape[-1]
+    phi_f = phi.reshape(B, F)
+    A = _psum(phi_f.T @ phi_f, axis_name) \
+        + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
+    b_vec = _psum(phi_f.T @ targets.reshape(B), axis_name)
+    w_new = baseline.fit_normal(A, b_vec)
+
+    # ---- 2) flatten the batch
+    obs_f = obs.reshape(B, do)
+    act_f = actions.reshape(B, da)
+    adv_f = adv.reshape(B)
+
+    # ---- 3) policy gradient of the surrogate at theta_old
+    theta_old, unravel = ravel_pytree(params)
+    mu_old, logstd_old = policy.dist(params, obs_f)
+    mu_old = jax.lax.stop_gradient(mu_old)
+    logstd_old = jax.lax.stop_gradient(logstd_old)
+    logp_old = policy.log_prob(mu_old, logstd_old, act_f)
+
+    def local_surrogate(p):
+        mu, logstd = policy.dist(p, obs_f)
+        logp = policy.log_prob(mu, logstd, act_f)
+        return jnp.mean(jnp.exp(logp - logp_old) * adv_f)
+
+    g_tree = jax.grad(local_surrogate)(params)
+    g, _ = ravel_pytree(g_tree)
+    g = _pmean(g, axis_name)
+    surr_old = _pmean(jnp.mean(adv_f), axis_name)   # ratio == 1
+
+    # ---- 4) CG on the damped FVP (the reference's accelerator boundary,
+    #          SURVEY.md section 5.2 — here: traced matvecs + pmean on ICI)
+    make_fvp = make_gn_fvp if fvp_form == "gn" else make_kl_fvp
+    fvp = make_fvp(params, unravel, obs_f, tr.cg_damping,
+                   axis_name=axis_name)
+    x, cg_residual = conjugate_gradient(fvp, g, tr.cg_iters)
+
+    # ---- 5) KL-constrained step size from damped curvature
+    xhx = jnp.dot(x, fvp(x))
+    beta = jnp.sqrt(2.0 * tr.delta / (xhx + 1e-12))
+
+    # ---- 6) backtracking line search (on-device while_loop)
+    def eval_fn(theta_c):
+        p = unravel(theta_c)
+        mu, logstd = policy.dist(p, obs_f)
+        logp = policy.log_prob(mu, logstd, act_f)
+        surr = _pmean(jnp.mean(jnp.exp(logp - logp_old) * adv_f), axis_name)
+        kl = _pmean(policy.kl(mu_old, logstd_old, mu, logstd), axis_name)
+        return surr, kl
+
+    theta_new, accepted, kl_new, surr_new = line_search(
+        eval_fn, theta_old, beta * x, surr_old, tr.delta,
+        tr.ls_steps, tr.ls_backtrack)
+    new_params = unravel(theta_new)
+
+    stats = dict(
+        beta=beta, accepted=accepted, kl=kl_new, surr=surr_new,
+        surr_old=surr_old, g_norm=jnp.linalg.norm(g),
+        step_norm=jnp.linalg.norm(theta_new - theta_old),
+        cg_residual=cg_residual, xhx=xhx,
+        entropy=policy.entropy(params["logstd"]),
+        mean_return=_pmean(jnp.mean(jnp.sum(rewards, axis=1)), axis_name),
+        adv_std=std,
+    )
+    if return_directions:
+        stats["g"] = g
+        stats["x"] = x
+    return new_params, w_new, stats
