@@ -1,0 +1,76 @@
+"""Training CLI (SURVEY.md section 2 L5): pick a config, backend, mesh;
+run TRPO with JSONL metrics + periodic checkpoints.
+
+  python -m trpo_robot_control_tpu.cli.train --config c1_reacher2 --iters 50
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="c1_reacher2",
+                    help="one of the five driver configs (c1..c5 names)")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--n-envs", type=int, default=None)
+    ap.add_argument("--horizon", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (cpu/tpu); default: auto")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--ckpt-every", type=int, default=25)
+    ap.add_argument("--resume", default=None,
+                    help="path to a checkpoint .npz to resume from")
+    ap.add_argument("--jsonl", default=None, help="metrics JSONL path")
+    ap.add_argument("--sharded", action="store_true",
+                    help="force the mesh/shard_map path even on 1 device")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..configs import CONFIGS
+    from ..parallel.mesh import init_distributed, make_mesh, train_sharded
+    from ..trpo.train import train
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.metrics import JsonlLogger
+
+    init_distributed()
+
+    cfg = CONFIGS[args.config]
+    if args.n_envs:
+        cfg = cfg.replace(n_envs=args.n_envs)
+    if args.horizon:
+        cfg = cfg.replace(horizon=args.horizon)
+
+    log = JsonlLogger(args.jsonl)
+    state = load_checkpoint(args.resume, cfg) if args.resume else None
+
+    n_dev = len(jax.devices())
+    if args.sharded or n_dev > 1:
+        mesh = make_mesh()
+        print(f"mesh: {dict(mesh.shape)} on {n_dev} x "
+              f"{jax.devices()[0].device_kind}", file=sys.stderr)
+        state, history = train_sharded(cfg, mesh, n_iters=args.iters,
+                                       seed=args.seed, log_fn=log)
+    else:
+        print(f"single device: {jax.devices()[0].device_kind}",
+              file=sys.stderr)
+        state, history = train(cfg, n_iters=args.iters, seed=args.seed,
+                               log_fn=log, state=state,
+                               checkpoint_every=args.ckpt_every,
+                               checkpoint_dir=args.ckpt_dir)
+    if args.ckpt_dir:
+        from ..utils.checkpoint import save_checkpoint
+        path = save_checkpoint(args.ckpt_dir, cfg, state)
+        print(f"checkpoint: {path}", file=sys.stderr)
+    log.close()
+    final = history[-1]["mean_return"] if history else float("nan")
+    print(f"final mean return: {final:.3f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,18 +26,25 @@ def _maybe_pmean(x, axis_name):
 
 
 def make_gn_fvp(params, unravel, obs, damping: float, axis_name=None):
-    """obs: (B, do) local shard. Returns fvp(v_flat) -> flat damped Fv."""
+    """obs: (B, do) local shard. Returns fvp(v_flat) -> flat damped Fv.
+
+    `jax.linearize` caches the forward activations ONCE per update, so
+    each of the ~cg_iters+1 FVP calls is purely linear matvec work (the
+    reference streams exactly this linearised pipeline through its
+    accelerator — SURVEY.md section 5.2).
+    """
     B = obs.shape[0]
     inv_var = jnp.exp(-2.0 * params["logstd"])
 
     def dist_fn(p):
         return policy.dist(p, obs)
 
+    _, jvp_fn = jax.linearize(dist_fn, params)
     _, vjp_fn = jax.vjp(dist_fn, params)
 
     def fvp(v_flat):
         tangent = unravel(v_flat)
-        _, (dmu, dlogstd) = jax.jvp(dist_fn, (params,), (tangent,))
+        dmu, dlogstd = jvp_fn(tangent)
         u_mu = dmu * inv_var / B
         # logstd is shared across the batch: the per-sample factor 2 and
         # the batch sum / B cancel (see oracle/trpo.py:make_fvp).

@@ -1,0 +1,134 @@
+"""Device mesh + sharded training step (SURVEY.md sections 3, 7: the
+"Distributed communication backend" the reference never had).
+
+Design: SPMD data parallelism over a `jax.sharding.Mesh` axis 'data' —
+envs sharded, parameters replicated. Inside one `shard_map`-wrapped
+`train_step`, the only cross-device traffic is:
+
+- `psum`/`pmean` of the policy gradient, the FVP result (once per CG
+  iteration — the reference's accelerator DMA boundary, SURVEY.md 5.2),
+  the baseline normal equations, and the line-search statistics;
+
+all riding ICI within a slice (DCN across hosts via
+`jax.distributed.initialize`, see `init_distributed`). A 'model' axis is
+reserved in the mesh so tensor parallelism can be enabled for larger
+policies without refactoring call sites (SURVEY.md section 3 table).
+
+The update math is IDENTICAL to the single-device path — trpo/update.py
+takes `axis_name` and inserts collectives only where a batch reduction
+already existed. tests/test_sharding.py asserts sharded == unsharded.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..configs.base import ExperimentConfig
+from ..envs import arm
+from ..models import policy
+from ..trpo.train import TrainState, init_state
+from ..trpo.update import trpo_update
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over the available devices: ('data', 'model')."""
+    devices = jax.devices() if devices is None else devices
+    n_data = len(devices) // n_model if n_data is None else n_data
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def init_distributed():
+    """Multi-host entry: call before any jax op on multi-host slices.
+    No-op when single-process (SURVEY.md section 5.4)."""
+    import os
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or \
+            "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
+                            donate: bool = True):
+    """jitted sharded `train_step(state) -> (state, stats)`.
+
+    State is replicated; each shard rolls out cfg.n_envs / n_data envs
+    with a key folded by its axis index (deterministic for a fixed mesh
+    shape — SURVEY.md section 9 hard-part 5).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if cfg.n_envs % n_data:
+        raise ValueError(f"n_envs={cfg.n_envs} not divisible by "
+                         f"data-axis size {n_data}")
+    local_envs = cfg.n_envs // n_data
+    replicated = P()
+
+    def local_step(state: TrainState):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        key, k_roll = jax.random.split(state.key)
+        k_local = jax.random.fold_in(k_roll, idx)
+        batch = arm.rollout(cfg, state.params, policy.sample, k_local,
+                            n_envs=local_envs)
+        params, w, stats = trpo_update(cfg, state.params, state.w, batch,
+                                       axis_name=DATA_AXIS)
+        new_state = TrainState(params=params, w=w, key=key,
+                               iteration=state.iteration + 1)
+        return new_state, stats
+
+    sharded = jax.shard_map(local_step, mesh=mesh, in_specs=replicated,
+                            out_specs=replicated, check_vma=False)
+    kw = dict(donate_argnums=0) if donate else {}
+    return jax.jit(sharded, **kw)
+
+
+def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh):
+    """Sharded update on a PRE-COLLECTED batch (envs axis sharded over
+    'data'). Used by the equivalence tests and external data pipelines."""
+    batch_spec = dict(obs=P(DATA_AXIS), actions=P(DATA_AXIS),
+                      rewards=P(DATA_AXIS))
+
+    def local_update(params, w, batch):
+        return trpo_update(cfg, params, w, batch, axis_name=DATA_AXIS)
+
+    sharded = jax.shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(), batch_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch with the env axis sharded over 'data'."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in batch.items()}
+
+
+def train_sharded(cfg: ExperimentConfig, mesh: Mesh, n_iters=None,
+                  seed=None, log_fn=None):
+    """Training loop over the sharded step (host pulls metrics only)."""
+    import time
+    n_iters = cfg.n_iters if n_iters is None else n_iters
+    state = init_state(cfg, seed)
+    step = make_sharded_train_step(cfg, mesh)
+    history = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        state, stats = step(state)
+        stats = {k: float(v) for k, v in stats.items()}
+        stats["iter"] = int(state.iteration)
+        stats["wall_s"] = time.perf_counter() - t0
+        history.append(stats)
+        if log_fn is not None:
+            log_fn(stats)
+    return state, history

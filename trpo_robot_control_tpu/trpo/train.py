@@ -49,6 +49,35 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     return jax.jit(train_step, **kw)
 
 
+def make_train_many(cfg: ExperimentConfig, n_steps: int, mesh=None):
+    """jit of `lax.scan` over n_steps train steps: zero host involvement
+    between updates (one dispatch, one fetch). This is what bench.py times
+    — per-update numbers exclude the host<->device tunnel latency that a
+    per-iteration fetch would add.
+
+    Returns fn(state) -> (state, stacked_stats).
+    """
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_train_step
+        step = make_sharded_train_step(cfg, mesh, donate=False)
+
+        def body(state, _):
+            return step(state)
+    else:
+        def body(state, _):
+            key, k_roll = jax.random.split(state.key)
+            batch = arm.rollout(cfg, state.params, policy.sample, k_roll)
+            params, w, stats = trpo_update(cfg, state.params, state.w,
+                                           batch)
+            return TrainState(params=params, w=w, key=key,
+                              iteration=state.iteration + 1), stats
+
+    def many(state):
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(many, donate_argnums=0)
+
+
 def train(cfg: ExperimentConfig, n_iters: Optional[int] = None,
           seed: Optional[int] = None, log_fn=None, state: Optional[TrainState] = None,
           checkpoint_every: int = 0, checkpoint_dir: Optional[str] = None):
