@@ -93,13 +93,16 @@ def main():
     state = init_state(cfg, seed=0)
     many = make_train_many(cfg, args.updates, mesh=mesh)
 
-    # --- measure host fetch round-trip floor
-    z = jax.jit(lambda x: x + 1.0)(0.0)
-    _fetch(z)
+    # --- measure host fetch round-trip floor (single compiled fn, chained)
+    inc = jax.jit(lambda x: x + 1.0)
+    z = inc(jax.numpy.float32(0.0))
+    _fetch(z)                      # compile + first round trip
     t0 = time.perf_counter()
-    for _ in range(3):
-        _fetch(jax.jit(lambda x: x + 1.0)(z))
-    fetch_s = (time.perf_counter() - t0) / 3
+    reps = 5
+    for _ in range(reps):
+        z = inc(z)
+        _fetch(z)
+    fetch_s = (time.perf_counter() - t0) / reps
 
     # --- warmup / compile
     t0 = time.perf_counter()

@@ -1,0 +1,155 @@
+"""ctypes bindings for the native C++ CPU TRPO backend (native/trpo_cpu.cpp).
+
+Builds the shared library on first import (g++ -O3 -march=native) and
+caches it next to the source. The C ABI uses the oracle's sorted-key flat
+parameter layout, so arrays round-trip to/from the Python side unchanged.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "trpo_cpu.cpp")
+_LIB = os.path.join(_DIR, "libtrpo_cpu.so")
+
+
+class NativeConfig(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int32),
+        ("l", ctypes.c_double * 8),
+        ("lc", ctypes.c_double * 8),
+        ("m", ctypes.c_double * 8),
+        ("iz", ctypes.c_double * 8),
+        ("damping", ctypes.c_double),
+        ("dt", ctypes.c_double),
+        ("n_substeps", ctypes.c_int32),
+        ("torque_limit", ctypes.c_double),
+        ("qd_limit", ctypes.c_double),
+        ("qd_obs_scale", ctypes.c_double),
+        ("ctrl_weight", ctypes.c_double),
+        ("gamma", ctypes.c_double),
+        ("lam", ctypes.c_double),
+        ("delta", ctypes.c_double),
+        ("cg_damping", ctypes.c_double),
+        ("cg_iters", ctypes.c_int32),
+        ("ls_steps", ctypes.c_int32),
+        ("ls_backtrack", ctypes.c_double),
+        ("baseline_reg", ctypes.c_double),
+        ("obs_dim", ctypes.c_int32),
+        ("act_dim", ctypes.c_int32),
+        ("h1", ctypes.c_int32),
+        ("h2", ctypes.c_int32),
+        ("n_envs", ctypes.c_int32),
+        ("horizon", ctypes.c_int32),
+        ("q0_noise", ctypes.c_double),
+        ("qd0_noise", ctypes.c_double),
+        ("rmin", ctypes.c_double),
+        ("rmax", ctypes.c_double),
+    ]
+
+
+def build(force: bool = False) -> str:
+    if force or not os.path.exists(_LIB) or \
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+             "-std=c++17", _SRC, "-o", _LIB],
+            check=True, capture_output=True)
+    return _LIB
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(build())
+        dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        _lib.trpo_cpu_rollout.argtypes = [
+            ctypes.POINTER(NativeConfig), dp, ctypes.c_uint64, dp, dp, dp]
+        _lib.trpo_cpu_rollout.restype = ctypes.c_int
+        _lib.trpo_cpu_update.argtypes = [
+            ctypes.POINTER(NativeConfig), dp, dp, dp, dp, dp, dp]
+        _lib.trpo_cpu_update.restype = ctypes.c_int
+        _lib.trpo_cpu_param_size.argtypes = [ctypes.POINTER(NativeConfig)]
+        _lib.trpo_cpu_param_size.restype = ctypes.c_size_t
+    return _lib
+
+
+def make_config(cfg) -> NativeConfig:
+    """Build a NativeConfig from an ExperimentConfig (planar arms)."""
+    from trpo_robot_control_tpu.envs.rigid_body import ArmConstants
+    spec = cfg.arm
+    c = ArmConstants(spec)
+    assert c.planar and cfg.n_tasks == 1 and abs(spec.gravity) < 1e-12, \
+        "native backend covers planar single-task arms"
+    n = spec.n_joints
+    assert n <= 8
+    hidden = cfg.trpo.hidden
+    assert len(hidden) == 2, "native net is fixed at 2 hidden layers"
+    nc = NativeConfig()
+    nc.n = n
+    ls = [float(spec.joints[i + 1].pos[0]) for i in range(n - 1)] \
+        + [float(spec.ee_offset[0])]
+    for i in range(n):
+        nc.l[i] = ls[i]
+        nc.lc[i] = float(spec.links[i].com[0])
+        nc.m[i] = float(spec.links[i].mass)
+        nc.iz[i] = float(spec.links[i].inertia_diag[2])
+    nc.damping = spec.joint_damping
+    nc.dt = spec.dt
+    nc.n_substeps = spec.n_substeps
+    nc.torque_limit = spec.torque_limit
+    nc.qd_limit = spec.qd_limit
+    nc.qd_obs_scale = spec.qd_obs_scale
+    nc.ctrl_weight = cfg.cost.ctrl_weight
+    tr = cfg.trpo
+    nc.gamma, nc.lam, nc.delta = tr.gamma, tr.lam, tr.delta
+    nc.cg_damping, nc.cg_iters = tr.cg_damping, tr.cg_iters
+    nc.ls_steps, nc.ls_backtrack = tr.ls_steps, tr.ls_backtrack
+    nc.baseline_reg = tr.baseline_reg
+    nc.obs_dim = cfg.obs_dim
+    nc.act_dim = n
+    nc.h1, nc.h2 = hidden
+    nc.n_envs, nc.horizon = cfg.n_envs, cfg.horizon
+    nc.q0_noise, nc.qd0_noise = spec.q0_noise, spec.qd0_noise
+    nc.rmin = spec.target_rmin_frac * spec.reach
+    nc.rmax = spec.target_rmax_frac * spec.reach
+    return nc
+
+
+def rollout(cfg, params_flat: np.ndarray, seed: int):
+    nc = make_config(cfg)
+    N, T = cfg.n_envs, cfg.horizon
+    do, da = cfg.obs_dim, cfg.arm.n_joints
+    obs = np.zeros((N, T, do))
+    act = np.zeros((N, T, da))
+    rew = np.zeros((N, T))
+    r = lib().trpo_cpu_rollout(ctypes.byref(nc),
+                               np.ascontiguousarray(params_flat,
+                                                    np.float64),
+                               seed, obs, act, rew)
+    assert r == 0
+    return dict(obs=obs, actions=act, rewards=rew)
+
+
+def update(cfg, params_flat: np.ndarray, w: np.ndarray, batch):
+    """In-place TRPO update. Returns stats dict."""
+    nc = make_config(cfg)
+    stats = np.zeros(6)
+    params_flat = np.ascontiguousarray(params_flat, np.float64)
+    w = np.ascontiguousarray(w, np.float64)
+    r = lib().trpo_cpu_update(
+        ctypes.byref(nc), params_flat, w,
+        np.ascontiguousarray(batch["obs"], np.float64),
+        np.ascontiguousarray(batch["actions"], np.float64),
+        np.ascontiguousarray(batch["rewards"], np.float64), stats)
+    assert r == 0
+    return params_flat, w, dict(beta=stats[0], accepted=int(stats[1]),
+                                kl=stats[2], surr=stats[3],
+                                mean_return=stats[4], g_norm=stats[5])

@@ -130,6 +130,9 @@ class ExperimentConfig:
     # multi-task (config 5): number of goal families mixed per batch.
     # 1 = reach only; 3 = reach / track / push (see envs/costs.py).
     n_tasks: int = 1
+    # rollout implementation: "auto" picks the fused Pallas kernel on TPU
+    # for planar single-task arms, the XLA scan path otherwise.
+    rollout_impl: str = "auto"
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -135,6 +135,38 @@ def obstacle_penalty(cfg: ExperimentConfig, joint_pos, ee):
     return pen
 
 
+def make_rollout_fn(cfg: ExperimentConfig):
+    """Resolve the rollout implementation (static, at trace-graph build):
+
+    - "pallas": fused Pallas rollout kernel (planar single-task arms, TPU)
+    - "xla":    generic vmap + lax.scan path (any arm, any backend)
+    - "auto":   pallas when eligible on a TPU backend, else xla
+
+    Returns fn(params, key, n_envs=None) -> batch dict.
+    """
+    import jax as _jax
+
+    from ..models import policy as _policy
+
+    impl = cfg.rollout_impl
+    if impl == "auto":
+        eligible = (ArmConstants(cfg.arm).planar and cfg.n_tasks == 1
+                    and abs(cfg.arm.gravity) < 1e-12
+                    and _jax.default_backend() != "cpu")
+        impl = "pallas" if eligible else "xla"
+    if impl == "pallas":
+        from ..ops.pallas.rollout_kernel import pallas_rollout
+
+        def fn(params, key, n_envs=None):
+            n = cfg.n_envs if n_envs is None else n_envs
+            bb = n if n < 1024 else 1024
+            return pallas_rollout(cfg, params, key, n_envs=n, block_b=bb)
+
+        return fn
+    return lambda params, key, n_envs=None: rollout(
+        cfg, params, _policy.sample, key, n_envs=n_envs)
+
+
 def rollout(cfg: ExperimentConfig, params, policy_sample, key, n_envs=None):
     """Collect a fresh batch: reset all envs, scan the horizon.
 

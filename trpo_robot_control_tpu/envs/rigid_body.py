@@ -111,13 +111,17 @@ def ee_pos(spec: ArmSpec, q):
 
 
 @_full_precision
-def rnea(spec: ArmSpec, q, qd, qdd, gravity=None):
+def rnea(spec: ArmSpec, q, qd, qdd, gravity=None, fk_cache=None):
     """Inverse dynamics tau = ID(q, qd, qdd); batched over leading dims.
     Mirrors oracle/dynamics.py:ArmModel.rnea exactly (the parity fixture).
-    """
+    `fk_cache=(R, p)` lets callers share one FK across several RNEA calls
+    (mass_matrix + bias per dynamics step)."""
     c = ArmConstants(spec)
     g = spec.gravity if gravity is None else gravity
-    R, p, _ = fk(spec, q)
+    if fk_cache is None:
+        R, p, _ = fk(spec, q)
+    else:
+        R, p = fk_cache
     batch = q.shape[:-1]
     dtype = q.dtype
 
@@ -161,32 +165,38 @@ def rnea(spec: ArmSpec, q, qd, qdd, gravity=None):
 
 
 @_full_precision
-def mass_matrix(spec: ArmSpec, q):
+def mass_matrix(spec: ArmSpec, q, fk_cache=None):
     """M(q) by CRBA-via-RNEA: column j = ID(q, 0, e_j, g=0). Batched."""
     n = ArmConstants(spec).n
     zero = jnp.zeros_like(q)
     eye = jnp.eye(n, dtype=q.dtype)
+    if fk_cache is None:
+        R, p, _ = fk(spec, q)
+        fk_cache = (R, p)
 
     def col(e):
         e_b = jnp.broadcast_to(e, q.shape)
-        return rnea(spec, q, zero, e_b, gravity=0.0)
+        return rnea(spec, q, zero, e_b, gravity=0.0, fk_cache=fk_cache)
 
     M = jnp.stack([col(eye[j]) for j in range(n)], axis=-1)
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
 @_full_precision
-def bias(spec: ArmSpec, q, qd):
+def bias(spec: ArmSpec, q, qd, fk_cache=None):
     """C(q, qd) qd + g(q) (no joint damping)."""
-    return rnea(spec, q, qd, jnp.zeros_like(q))
+    return rnea(spec, q, qd, jnp.zeros_like(q), fk_cache=fk_cache)
 
 
 @_full_precision
 def forward_dynamics(spec: ArmSpec, q, qd, tau, chol_reg: float = 1e-6):
-    """qdd = M^{-1}(tau - bias - damping qd), batched Cholesky solve."""
+    """qdd = M^{-1}(tau - bias - damping qd), batched Cholesky solve.
+    FK is computed once and shared across the n+1 RNEA passes."""
     n = ArmConstants(spec).n
-    M = mass_matrix(spec, q) + chol_reg * jnp.eye(n, dtype=q.dtype)
-    b = bias(spec, q, qd) + spec.joint_damping * qd
+    R, p, _ = fk(spec, q)
+    M = mass_matrix(spec, q, fk_cache=(R, p)) \
+        + chol_reg * jnp.eye(n, dtype=q.dtype)
+    b = bias(spec, q, qd, fk_cache=(R, p)) + spec.joint_damping * qd
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), (tau - b)[..., None])[..., 0]
 

@@ -71,13 +71,13 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
                          f"data-axis size {n_data}")
     local_envs = cfg.n_envs // n_data
     replicated = P()
+    rollout_fn = arm.make_rollout_fn(cfg)
 
     def local_step(state: TrainState):
         idx = jax.lax.axis_index(DATA_AXIS)
         key, k_roll = jax.random.split(state.key)
         k_local = jax.random.fold_in(k_roll, idx)
-        batch = arm.rollout(cfg, state.params, policy.sample, k_local,
-                            n_envs=local_envs)
+        batch = rollout_fn(state.params, k_local, n_envs=local_envs)
         params, w, stats = trpo_update(cfg, state.params, state.w, batch,
                                        axis_name=DATA_AXIS)
         new_state = TrainState(params=params, w=w, key=key,

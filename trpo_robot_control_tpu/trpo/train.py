@@ -36,10 +36,11 @@ def init_state(cfg: ExperimentConfig, seed: Optional[int] = None) -> TrainState:
 
 def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     """Returns jitted `train_step(state) -> (state, stats)`."""
+    rollout_fn = arm.make_rollout_fn(cfg)
 
     def train_step(state: TrainState):
         key, k_roll = jax.random.split(state.key)
-        batch = arm.rollout(cfg, state.params, policy.sample, k_roll)
+        batch = rollout_fn(state.params, k_roll)
         params, w, stats = trpo_update(cfg, state.params, state.w, batch)
         new_state = TrainState(params=params, w=w, key=key,
                                iteration=state.iteration + 1)
@@ -64,9 +65,11 @@ def make_train_many(cfg: ExperimentConfig, n_steps: int, mesh=None):
         def body(state, _):
             return step(state)
     else:
+        rollout_fn = arm.make_rollout_fn(cfg)
+
         def body(state, _):
             key, k_roll = jax.random.split(state.key)
-            batch = arm.rollout(cfg, state.params, policy.sample, k_roll)
+            batch = rollout_fn(state.params, k_roll)
             params, w, stats = trpo_update(cfg, state.params, state.w,
                                            batch)
             return TrainState(params=params, w=w, key=key,
