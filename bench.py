@@ -122,21 +122,26 @@ def main():
     updates_per_s = 1.0 / best
     per_update_ms = 1e3 * best
 
-    # --- rollout-only steps/s/chip (same chained+fetch discipline)
-    def roll_chain(params, key, n):
+    # --- rollout-only steps/s/chip: slope between chain lengths removes
+    # both the fetch round-trip and any constant dispatch cost
+    rollout_fn = arm.make_rollout_fn(cfg)
+
+    def roll_chain(n):
         def body(k, _):
             k, k2 = jax.random.split(k)
-            batch = arm.rollout(cfg, params, policy.sample, k2)
+            batch = rollout_fn(state.params, k2)
             return k, batch["rewards"].sum()
-        return jax.lax.scan(body, key, None, length=n)
+        return jax.jit(lambda k: jax.lax.scan(body, k, None, length=n))
 
-    n_roll = 8
-    roll = jax.jit(lambda p, k: roll_chain(p, k, n_roll))
-    key = jax.random.PRNGKey(0)
-    _fetch(roll(state.params, key)[1])
-    t0 = time.perf_counter()
-    _fetch(roll(state.params, jax.random.fold_in(key, 1))[1])
-    roll_s = (time.perf_counter() - t0 - fetch_s) / n_roll
+    def timed(n):
+        r = roll_chain(n)
+        _fetch(r(jax.random.PRNGKey(0))[1])          # compile + warm
+        t0 = time.perf_counter()
+        _fetch(r(jax.random.PRNGKey(1))[1])
+        return time.perf_counter() - t0
+
+    k_lo, k_hi = 2, 10
+    roll_s = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
     env_steps = cfg.n_envs * cfg.horizon
     steps_per_s_chip = env_steps / roll_s / max(n_dev, 1)
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""TPU-only validation suite: everything the CPU CI cannot cover
+(SURVEY.md section 6.3 "on-TPU against the twin"). Run on a machine with
+a real TPU chip:
+
+    python scripts/tpu_checks.py
+
+Covers: compiled Pallas FVP kernel vs XLA twin, compiled planar + 3-D
+fused rollout kernels vs their jnp twins (eps mode), PRNG-mode
+determinism/statistics, and a short fused-path training run.
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+sys.path.insert(0, ".")
+
+from trpo_robot_control_tpu.configs import (C1_REACHER2, C2_REACHER3,
+                                            C3_FRANKA7)
+from trpo_robot_control_tpu.envs import arm
+from trpo_robot_control_tpu.models import policy
+from trpo_robot_control_tpu.ops.fvp import make_gn_fvp
+from trpo_robot_control_tpu.ops.pallas.fvp_kernel import make_pallas_gn_fvp
+from trpo_robot_control_tpu.ops.pallas.rollout3d_kernel import (
+    pallas_rollout3d, rollout3d_reference)
+from trpo_robot_control_tpu.ops.pallas.rollout_kernel import (
+    pallas_rollout, rollout_reference)
+from trpo_robot_control_tpu.trpo.train import init_state, make_train_many
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}")
+    assert "TPU" in dev.device_kind, "run on a TPU"
+
+    # ---- Pallas FVP vs XLA
+    cfg = C2_REACHER3
+    B = 4096
+    params = policy.init_params(jax.random.PRNGKey(0), cfg.obs_dim, 3,
+                                cfg.trpo.hidden, -0.5)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.obs_dim))
+    theta, unravel = ravel_pytree(params)
+    v = jax.random.normal(jax.random.PRNGKey(2), theta.shape)
+    r_x = jax.jit(lambda v: make_gn_fvp(params, unravel, obs, 0.1)(v))(v)
+    r_p = jax.jit(lambda v: make_pallas_gn_fvp(params, unravel, obs,
+                                               0.1)(v))(v)
+    err = float(jnp.max(jnp.abs(r_x - r_p)) /
+                (jnp.max(jnp.abs(r_x)) + 1e-12))
+    check("pallas FVP == XLA FVP", err < 1e-5, f"rel err {err:.2e}")
+
+    # ---- planar rollout kernel vs twin (eps mode)
+    c2s = C2_REACHER3.replace(horizon=10)
+    N = 1024
+    state0 = arm.reset(c2s, jax.random.PRNGKey(3), N)
+    eps = jax.random.normal(jax.random.PRNGKey(4), (10, N, 3))
+    ref = jax.jit(lambda: rollout_reference(c2s, params, state0.q,
+                                            state0.qd, state0.tgt,
+                                            eps))()
+    pal = jax.jit(lambda: pallas_rollout(c2s, params, 0, eps=eps,
+                                         q0=state0.q, qd0=state0.qd,
+                                         tgt=state0.tgt,
+                                         block_b=1024))()
+    err = max(float(jnp.max(jnp.abs(pal[k] - ref[k])))
+              for k in ("obs", "actions", "rewards"))
+    check("planar rollout kernel == twin", err < 1e-4, f"max err {err:.2e}")
+
+    # ---- planar PRNG mode determinism
+    f = jax.jit(lambda s: pallas_rollout(c2s, params, s, block_b=1024))
+    a, b = jax.device_get((f(7), f(7)))
+    det = bool((a["actions"] == b["actions"]).all())
+    fin = bool(np.isfinite(a["obs"]).all())
+    check("planar PRNG deterministic+finite", det and fin)
+
+    # ---- 3D rollout kernel vs twin
+    c3s = C3_FRANKA7.replace(horizon=5)
+    params7 = policy.init_params(jax.random.PRNGKey(5), c3s.obs_dim, 7,
+                                 c3s.trpo.hidden, -0.5)
+    st7 = arm.reset(c3s, jax.random.PRNGKey(6), 512)
+    eps7 = jax.random.normal(jax.random.PRNGKey(7), (5, 512, 7))
+    ref7 = jax.jit(lambda: rollout3d_reference(c3s, params7, st7.q,
+                                               st7.qd, st7.tgt, eps7))()
+    pal7 = jax.jit(lambda: pallas_rollout3d(c3s, params7, 0, n_envs=512,
+                                            eps=eps7, block_b=512,
+                                            q0=st7.q, qd0=st7.qd,
+                                            tgt=st7.tgt))()
+    err = max(float(jnp.max(jnp.abs(pal7[k] - ref7[k])))
+              for k in ("obs", "actions", "rewards"))
+    check("3D rollout kernel == twin", err < 1e-4, f"max err {err:.2e}")
+
+    # ---- short fused-path training run (c2)
+    many = make_train_many(C2_REACHER3, 10)
+    st = init_state(C2_REACHER3, seed=0)
+    t0 = time.perf_counter()
+    st, stats = many(st)
+    rets = np.asarray(stats["mean_return"])
+    wall = time.perf_counter() - t0
+    check("fused training runs + improves",
+          bool(np.isfinite(rets).all()) and rets[-1] > rets[0],
+          f"returns {rets[0]:.1f} -> {rets[-1]:.1f} "
+          f"({wall:.1f}s incl compile)")
+    print("ALL TPU CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

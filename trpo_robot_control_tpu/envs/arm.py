@@ -149,18 +149,22 @@ def make_rollout_fn(cfg: ExperimentConfig):
     from ..models import policy as _policy
 
     impl = cfg.rollout_impl
+    planar = (ArmConstants(cfg.arm).planar
+              and abs(cfg.arm.gravity) < 1e-12)
     if impl == "auto":
-        eligible = (ArmConstants(cfg.arm).planar and cfg.n_tasks == 1
-                    and abs(cfg.arm.gravity) < 1e-12
-                    and _jax.default_backend() != "cpu")
-        impl = "pallas" if eligible else "xla"
-    if impl == "pallas":
-        from ..ops.pallas.rollout_kernel import pallas_rollout
+        eligible = cfg.n_tasks == 1 and _jax.default_backend() != "cpu"
+        impl = ("pallas" if planar else "pallas3d") if eligible else "xla"
+    if impl in ("pallas", "pallas3d"):
+        from ..ops.pallas.rollout_kernel import auto_block_b
+        if planar and impl == "pallas":
+            from ..ops.pallas.rollout_kernel import pallas_rollout as pr
+        else:
+            from ..ops.pallas.rollout3d_kernel import pallas_rollout3d as pr
 
         def fn(params, key, n_envs=None):
             n = cfg.n_envs if n_envs is None else n_envs
-            bb = n if n < 1024 else 1024
-            return pallas_rollout(cfg, params, key, n_envs=n, block_b=bb)
+            return pr(cfg, params, key, n_envs=n,
+                      block_b=auto_block_b(cfg, n))
 
         return fn
     return lambda params, key, n_envs=None: rollout(

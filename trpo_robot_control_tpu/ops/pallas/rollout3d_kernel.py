@@ -1,0 +1,490 @@
+"""Pallas TPU kernel: fused rollout for GENERAL 3-D serial arms (7-DoF
+Franka-like chains with gravity and obstacle cost — configs c3/c4).
+
+Extends the planar kernel's design (rollout_kernel.py) to full spatial
+dynamics: the same world-frame RNEA recursion as envs/rigid_body.py (the
+parity fixture), expressed on "vec3-on-lanes" components — every scalar
+channel is a (1, B) array with the env batch on the 128-wide lane
+dimension, rotations are 9 such channels. Fixed transforms are Python
+float constants, so sparse entries (0, +-1 for Franka-style rpy) fold
+away at trace time.
+
+Per step, entirely in VMEM:
+  FK -> observation -> policy MLP (MXU, feature-first) -> Box-Muller
+  sampling (on-chip PRNG) -> mass matrix (n specialised zero-velocity
+  RNEA columns) + bias (full RNEA with gravity) -> unrolled Cholesky
+  solve -> semi-implicit Euler (n_substeps) -> reward (+ smooth obstacle
+  penalty when enabled).
+
+Correctness twin: rollout3d_reference (lax.scan over the same math) and,
+transitively, the generic RNEA path + fp64 oracle + MuJoCo
+(tests/test_pallas_rollout3d.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...configs.base import ExperimentConfig
+from ...envs.rigid_body import ArmConstants
+from .rollout_kernel import _policy_ff, _uniform_01
+
+_TWO_PI = 2.0 * np.pi
+
+
+# ------------------------------------------------- vec3 on lanes helpers
+def v_add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def v_sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def v_scale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def v_cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def v_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def m_vec_const(R, v3):
+    """R: 9-tuple of (1,B); v3: python float 3-tuple (sparse-folded)."""
+    out = []
+    for r in range(3):
+        acc = None
+        for c in range(3):
+            x = float(v3[c])
+            if x == 0.0:
+                continue
+            term = R[3 * r + c] if x == 1.0 else \
+                (-R[3 * r + c] if x == -1.0 else R[3 * r + c] * x)
+            acc = term if acc is None else acc + term
+        out.append(acc if acc is not None else jnp.zeros_like(R[0]))
+    return tuple(out)
+
+
+def m_vec(R, v):
+    """R: 9-tuple; v: 3-tuple of (1,B)."""
+    return (R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
+            R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
+            R[6] * v[0] + R[7] * v[1] + R[8] * v[2])
+
+
+def m_mul_const(R, T):
+    """R (variable 9-tuple) @ T (3x3 python floats, sparse-folded)."""
+    out = []
+    for r in range(3):
+        for c in range(3):
+            acc = None
+            for k in range(3):
+                x = float(T[k][c])
+                if x == 0.0:
+                    continue
+                term = R[3 * r + k] if x == 1.0 else \
+                    (-R[3 * r + k] if x == -1.0 else R[3 * r + k] * x)
+                acc = term if acc is None else acc + term
+            out.append(acc if acc is not None
+                       else jnp.zeros_like(R[0]))
+    return tuple(out)
+
+
+def m_rotz(A, cq, sq):
+    """A @ Rz(q): columns 0,1 mix by cos/sin; column 2 unchanged."""
+    return (A[0] * cq + A[1] * sq, -A[0] * sq + A[1] * cq, A[2],
+            A[3] * cq + A[4] * sq, -A[3] * sq + A[4] * cq, A[5],
+            A[6] * cq + A[7] * sq, -A[6] * sq + A[7] * cq, A[8])
+
+
+class Arm3DConsts(NamedTuple):
+    n: int
+    T_rot: tuple      # n x (3x3 float tuples)
+    T_pos: tuple      # n x (3 floats)
+    mass: tuple
+    com: tuple        # n x (3 floats)
+    inertia: tuple    # n x (3x3 float tuples, link frame)
+    ee_offset: tuple
+    gravity: float
+    damping: float
+    dt: float
+    n_substeps: int
+    torque_limit: float
+    qd_limit: float
+    qd_obs_scale: float
+    ctrl_weight: float
+    obstacle_weight: float
+    obstacle_radius: float
+    obstacle_center: tuple
+    chol_reg: float
+
+
+def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
+    spec = cfg.arm
+    c = ArmConstants(spec)
+    assert cfg.n_tasks == 1, "3D kernel covers the reach task (+obstacle)"
+    return Arm3DConsts(
+        n=c.n,
+        T_rot=tuple(tuple(map(tuple, t)) for t in c.T_rot),
+        T_pos=tuple(tuple(t) for t in c.T_pos),
+        mass=tuple(c.mass),
+        com=tuple(tuple(x) for x in c.com),
+        inertia=tuple(tuple(map(tuple, i)) for i in c.inertia),
+        ee_offset=tuple(c.ee_offset),
+        gravity=float(spec.gravity),
+        damping=float(spec.joint_damping), dt=float(spec.dt),
+        n_substeps=int(spec.n_substeps),
+        torque_limit=float(spec.torque_limit),
+        qd_limit=float(spec.qd_limit),
+        qd_obs_scale=float(spec.qd_obs_scale),
+        ctrl_weight=float(cfg.cost.ctrl_weight),
+        obstacle_weight=float(cfg.cost.obstacle_weight),
+        obstacle_radius=float(cfg.cost.obstacle_radius),
+        obstacle_center=tuple(cfg.cost.obstacle_center),
+        chol_reg=chol_reg,
+    )
+
+
+def _fk3(c: Arm3DConsts, cq, sq):
+    """FK from per-joint cos/sin lists. Returns (R[i] 9-tuples,
+    p[i] vec3s, axis[i] vec3s, Afix[i] 9-tuples, ee vec3)."""
+    n = c.n
+    zero = jnp.zeros_like(cq[0])
+    one = jnp.ones_like(cq[0])
+    R_par = (one, zero, zero, zero, one, zero, zero, zero, one)
+    p_par = (zero, zero, zero)
+    R, p, axis = [], [], []
+    for i in range(n):
+        A = m_mul_const(R_par, c.T_rot[i])
+        p_i = v_add(p_par, m_vec_const(R_par, c.T_pos[i]))
+        R_i = m_rotz(A, cq[i], sq[i])
+        axis.append((A[2], A[5], A[8]))       # z column of R_par@T_rot
+        R.append(R_i)
+        p.append(p_i)
+        R_par, p_par = R_i, p_i
+    ee = v_add(p[-1], m_vec_const(R[-1], c.ee_offset))
+    return R, p, axis, ee
+
+
+def _rnea3(c: Arm3DConsts, R, p, axis, qd, qdd, gravity):
+    """World-frame RNEA on component arrays — mirrors
+    envs/rigid_body.py:rnea. qd/qdd: lists of (1,B) or None (= zeros).
+    Returns list of n torques (1,B)."""
+    n = c.n
+    zero = jnp.zeros_like(R[0][0])
+    zv = (zero, zero, zero)
+    w_par, wd_par = zv, zv
+    a_par = (zero, zero, gravity * jnp.ones_like(zero)) \
+        if gravity else zv
+    ws, wds, acs, cws = [], [], [], []
+    p_par = zv
+    for i in range(n):
+        r = v_sub(p[i], p_par)
+        a_i = v_add(a_par, v_add(v_cross(wd_par, r),
+                                 v_cross(w_par, v_cross(w_par, r))))
+        qdi = qd[i] if qd is not None else None
+        qddi = qdd[i] if qdd is not None else None
+        w_i = v_add(w_par, v_scale(qdi, axis[i])) if qdi is not None \
+            else w_par
+        wd_i = wd_par
+        if qddi is not None:
+            wd_i = v_add(wd_i, v_scale(qddi, axis[i]))
+        if qdi is not None:
+            wd_i = v_add(wd_i, v_cross(w_par, v_scale(qdi, axis[i])))
+        d = m_vec_const(R[i], c.com[i])
+        ac_i = v_add(a_i, v_add(v_cross(wd_i, d),
+                                v_cross(w_i, v_cross(w_i, d))))
+        ws.append(w_i); wds.append(wd_i); acs.append(ac_i)
+        cws.append(v_add(p[i], d))
+        w_par, wd_par, a_par, p_par = w_i, wd_i, a_i, p[i]
+
+    taus = [None] * n
+    f_child, n_child, p_child = zv, zv, zv
+    for i in range(n - 1, -1, -1):
+        # I_w = R I R^T; N = I_w wd + w x (I_w w)
+        Ic = c.inertia[i]
+        # columns of R scaled by diag-ish inertia: compute I_w v via
+        # R @ (I @ (R^T v)) to stay at 2 matvecs + const matvec
+        def I_w_vec(v, Ri=R[i], Ic=Ic):
+            tv = m_vec((Ri[0], Ri[3], Ri[6],
+                        Ri[1], Ri[4], Ri[7],
+                        Ri[2], Ri[5], Ri[8]), v)     # R^T v
+            iv = (tv[0] * float(Ic[0][0]) + tv[1] * float(Ic[0][1])
+                  + tv[2] * float(Ic[0][2]),
+                  tv[0] * float(Ic[1][0]) + tv[1] * float(Ic[1][1])
+                  + tv[2] * float(Ic[1][2]),
+                  tv[0] * float(Ic[2][0]) + tv[1] * float(Ic[2][1])
+                  + tv[2] * float(Ic[2][2]))
+            return m_vec(R[i], iv)
+        F = v_scale(c.mass[i], acs[i])
+        N = v_add(I_w_vec(wds[i]),
+                  v_cross(ws[i], I_w_vec(ws[i])))
+        f = v_add(F, f_child)
+        nn = v_add(v_add(N, n_child),
+                   v_add(v_cross(v_sub(cws[i], p[i]), F),
+                         v_cross(v_sub(p_child, p[i]), f_child)))
+        taus[i] = v_dot(axis[i], nn)
+        f_child, n_child, p_child = f, nn, p[i]
+    return taus
+
+
+def _mass3(c: Arm3DConsts, R, p, axis, one):
+    """M columns via zero-velocity unit-qdd RNEA (gravity off)."""
+    n = c.n
+    zero = jnp.zeros_like(one)
+    M = {}
+    for j in range(n):
+        qdd = [one if i == j else None for i in range(n)]
+        col = _rnea3(c, R, p, axis, None, qdd, 0.0)
+        for i in range(n):
+            M[(min(i, j), max(i, j))] = col[i]
+    return M
+
+
+def _chol_solve3(c: Arm3DConsts, M, rhs):
+    n = c.n
+    L = {}
+    for j in range(n):
+        s = M[(j, j)] + c.chol_reg
+        for k in range(j):
+            s = s - L[(j, k)] * L[(j, k)]
+        L[(j, j)] = jnp.sqrt(s)
+        inv = 1.0 / L[(j, j)]
+        for i in range(j + 1, n):
+            s = M[(j, i)] if (j, i) in M else M[(i, j)]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - L[(i, k)] * y[k]
+        y[i] = s / L[(i, i)]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[(k, i)] * x[k]
+        x[i] = s / L[(i, i)]
+    return x
+
+
+def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps):
+    """One 3-D env step on (1,B) components. q/qd lists of n; tgt vec3.
+    Returns (q2, qd2, obs (do,B), act (n,B), rew (1,B))."""
+    n = c.n
+    cq = [jnp.cos(x) for x in q]
+    sq = [jnp.sin(x) for x in q]
+    R, p, axis, ee = _fk3(c, cq, sq)
+
+    obs = jnp.concatenate(
+        cq + sq + [c.qd_obs_scale * x for x in qd]
+        + [tgt[0] - ee[0], tgt[1] - ee[1], tgt[2] - ee[2]], axis=0)
+    mu = _policy_ff(Ws, bs, obs)
+    act = mu + sigma * eps
+    tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
+    tau_l = [tau[i:i + 1] for i in range(n)]
+
+    one = jnp.ones_like(q[0])
+    h = c.dt / c.n_substeps
+    for s in range(c.n_substeps):
+        if s > 0:
+            cq = [jnp.cos(x) for x in q]
+            sq = [jnp.sin(x) for x in q]
+            R, p, axis, ee = _fk3(c, cq, sq)
+        M = _mass3(c, R, p, axis, one)
+        bias = _rnea3(c, R, p, axis, qd, None, c.gravity)
+        rhs = [tau_l[i] - bias[i] - c.damping * qd[i] for i in range(n)]
+        qdd = _chol_solve3(c, M, rhs)
+        qd = [jnp.clip(qd[i] + h * qdd[i], -c.qd_limit, c.qd_limit)
+              for i in range(n)]
+        q = [q[i] + h * qd[i] for i in range(n)]
+
+    cq2 = [jnp.cos(x) for x in q]
+    sq2 = [jnp.sin(x) for x in q]
+    R2, p2, _, ee2 = _fk3(c, cq2, sq2)
+    d = v_sub(ee2, tgt)
+    ctrl = None
+    for i in range(n):
+        t2 = tau_l[i] * tau_l[i]
+        ctrl = t2 if ctrl is None else ctrl + t2
+    rew = -(v_dot(d, d) + c.ctrl_weight * ctrl)
+    if c.obstacle_weight > 0.0:
+        oc = c.obstacle_center
+        pen = None
+        for pt in p2[1:] + [ee2]:
+            dx = pt[0] - oc[0]
+            dy = pt[1] - oc[1]
+            dz = pt[2] - oc[2]
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            term = jnp.maximum(c.obstacle_radius - dist, 0.0) ** 2
+            pen = term if pen is None else pen + term
+        rew = rew - c.obstacle_weight * pen
+    return q, qd, obs, act, rew
+
+
+def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
+    it = iter(refs)
+    q0_ref = next(it)
+    qd0_ref = next(it)
+    tgt_ref = next(it)
+    Ws = [next(it) for _ in range(n_layers)]
+    bs = [next(it) for _ in range(n_layers)]
+    logstd_ref = next(it)
+    if use_prng:
+        seed_ref = next(it)
+    else:
+        eps_ref = next(it)
+    obs_out = next(it)
+    act_out = next(it)
+    rew_out = next(it)
+
+    n = c.n
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    sigma = jnp.exp(logstd_ref[:])
+
+    q = [q0_ref[i:i + 1, :] for i in range(n)]
+    qd = [qd0_ref[i:i + 1, :] for i in range(n)]
+    tgt = (tgt_ref[0:1, :], tgt_ref[1:2, :], tgt_ref[2:3, :])
+    W_blocks = [w[:] for w in Ws]
+    b_blocks = [b[:] for b in bs]
+
+    def body(t, carry):
+        q, qd = carry
+        if use_prng:
+            shape = (n, q[0].shape[-1])
+            u1 = _uniform_01(shape)
+            u2 = _uniform_01(shape)
+            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        else:
+            eps = eps_ref[t]
+        q2, qd2, obs, act, rew = _step3(c, W_blocks, b_blocks, sigma,
+                                        q, qd, tgt, eps)
+        obs_out[t] = obs
+        act_out[t] = act
+        rew_out[t] = rew
+        return (q2, qd2)
+
+    jax.lax.fori_loop(0, T, body, (q, qd))
+
+
+def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
+                     n_envs=None, eps=None, block_b: int = 512,
+                     interpret: bool = False, q0=None, qd0=None,
+                     tgt=None):
+    """Fused 3-D rollout. Same contract as envs/arm.py:rollout."""
+    from ...envs import arm as arm_mod
+
+    c = arm3d_consts(cfg)
+    n = c.n
+    N = cfg.n_envs if n_envs is None else n_envs
+    T = cfg.horizon
+    do = cfg.obs_dim
+
+    if isinstance(key_or_seed, int) or jnp.ndim(key_or_seed) == 0:
+        key = jax.random.PRNGKey(key_or_seed)
+    else:
+        key = key_or_seed
+    k_reset, k_seed = jax.random.split(key)
+    if q0 is None:
+        state0 = arm_mod.reset(cfg, k_reset, N)
+        q0, qd0, tgt = state0.q, state0.qd, state0.tgt
+    seed = jax.random.randint(k_seed, (1, 1), 0,
+                              np.iinfo(np.int32).max, dtype=jnp.int32)
+
+    bb = min(block_b, N)
+    assert N % bb == 0
+    grid = (N // bb,)
+
+    q0_ff = q0.T
+    qd0_ff = qd0.T
+    tgt_ff = tgt.T                               # (3, N)
+
+    L = sum(1 for k in params if k.startswith("W"))
+    Ws = [params[f"W{i}"] for i in range(L)]
+    bs = [params[f"b{i}"][:, None] for i in range(L)]
+    logstd = params["logstd"][:, None]
+
+    batch_in = lambda d: pl.BlockSpec((d, bb), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    in_specs = ([batch_in(n), batch_in(n), batch_in(3)]
+                + [full(w.shape) for w in Ws]
+                + [full(b.shape) for b in bs]
+                + [full(logstd.shape)])
+    inputs = [q0_ff, qd0_ff, tgt_ff] + Ws + bs + [logstd]
+
+    use_prng = eps is None
+    if use_prng:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(seed)
+    else:
+        eps_ff = jnp.swapaxes(eps, 1, 2)          # (T, N, n) -> (T, n, N)
+        in_specs.append(pl.BlockSpec((T, n, bb), lambda i: (0, 0, i),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eps_ff)
+
+    out_specs = [
+        pl.BlockSpec((T, do, bb), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, n, bb), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, do, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, n, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
+    ]
+
+    kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng)
+    obs_ff, act_ff, rew_ff = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret)(*inputs)
+
+    return dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
+                actions=jnp.transpose(act_ff, (2, 0, 1)),
+                rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+
+
+def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
+    """jnp twin (lax.scan over the same component math)."""
+    c = arm3d_consts(cfg)
+    n = c.n
+    L = sum(1 for k in params if k.startswith("W"))
+    Ws = [params[f"W{i}"] for i in range(L)]
+    bs = [params[f"b{i}"][:, None] for i in range(L)]
+    sigma = jnp.exp(params["logstd"])[:, None]
+
+    q = [q0.T[i:i + 1] for i in range(n)]
+    qd = [qd0.T[i:i + 1] for i in range(n)]
+    tgt_t = (tgt[:, 0:1].T, tgt[:, 1:2].T, tgt[:, 2:3].T)
+
+    def body(carry, eps_t):
+        q, qd = carry
+        q2, qd2, obs, act, rew = _step3(c, Ws, bs, sigma, q, qd, tgt_t,
+                                        eps_t.T)
+        return (q2, qd2), (obs, act, rew)
+
+    (_, _), (obs, act, rew) = jax.lax.scan(body, (q, qd), eps)
+    return dict(obs=jnp.transpose(obs, (2, 0, 1)),
+                actions=jnp.transpose(act, (2, 0, 1)),
+                rewards=jnp.transpose(rew[:, 0, :], (1, 0)))

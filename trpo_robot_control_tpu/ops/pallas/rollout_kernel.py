@@ -58,6 +58,21 @@ class PlanarConsts(NamedTuple):
     chol_reg: float
 
 
+def auto_block_b(cfg: ExperimentConfig, n_envs: int,
+                 vmem_budget_bytes: int = 4 * 1024 * 1024,
+                 max_b: int = 1024) -> int:
+    """Largest env-tile (multiple of 128, <= max_b) whose per-tile output
+    block (obs+act+rew for the full horizon) fits the VMEM budget —
+    Mosaic double-buffers output blocks, so keep them ~< 4MB of the 16MB
+    v5e VMEM."""
+    bytes_per_env = cfg.horizon * (cfg.obs_dim + cfg.arm.n_joints + 1) * 4
+    bb = min(max_b, max(128, vmem_budget_bytes // bytes_per_env))
+    bb = (bb // 128) * 128
+    while n_envs % bb and bb > 128:
+        bb -= 128
+    return bb if n_envs >= 128 else n_envs
+
+
 def planar_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     spec = cfg.arm
     c = ArmConstants(spec)
