@@ -53,13 +53,13 @@ def test_pallas_fvp_inside_jit_cg():
     def solve(g):
         f = make_pallas_gn_fvp(params, unravel, obs, damping=0.1,
                                block_b=256, interpret=True)
-        x, res = conjugate_gradient(f, g, 10)
+        x, _, res = conjugate_gradient(f, g, 10)
         return x, res
 
     g = jax.random.normal(jax.random.PRNGKey(7), theta.shape)
     x, res = solve(g)
     f_ref = make_gn_fvp(params, unravel, obs, damping=0.1)
-    x_ref, _ = conjugate_gradient(f_ref, g, 10)
+    x_ref, _, _ = conjugate_gradient(f_ref, g, 10)
     cos = float(jnp.dot(x, x_ref) /
                 (jnp.linalg.norm(x) * jnp.linalg.norm(x_ref)))
     assert cos > 0.99999, cos

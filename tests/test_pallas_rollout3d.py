@@ -74,3 +74,39 @@ def test_pallas3d_kernel_matches_reference_interpret():
         np.testing.assert_allclose(np.asarray(pal[k]),
                                    np.asarray(ref[k]), atol=1e-5,
                                    err_msg=k)
+
+
+def test_multitask_component_math_matches_rnea_path():
+    """c5: reach/track/push families + task one-hot through the 3-D
+    feature-first math vs the generic path."""
+    from trpo_robot_control_tpu.configs import C5_MULTITASK
+    cfg = C5_MULTITASK.replace(horizon=6)
+    N = 12
+    params, state0, eps = _setup(cfg, N)
+    assert len(set(np.asarray(state0.task))) == 3   # all families present
+    ref = jax.jit(lambda: _rnea_path_rollout(cfg, params, state0, eps))()
+    ff = jax.jit(lambda: rollout3d_reference(
+        cfg, params, state0.q, state0.qd, state0.tgt, eps,
+        task=state0.task))()
+    np.testing.assert_allclose(np.asarray(ff["obs"]),
+                               np.asarray(ref["obs"]), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ff["rewards"]),
+                               np.asarray(ref["rewards"]), atol=2e-3)
+
+
+def test_multitask_pallas_kernel_interpret():
+    from trpo_robot_control_tpu.configs import C5_MULTITASK
+    cfg = C5_MULTITASK.replace(horizon=4)
+    N = 128
+    params, state0, eps = _setup(cfg, N)
+    ref = jax.jit(lambda: rollout3d_reference(
+        cfg, params, state0.q, state0.qd, state0.tgt, eps,
+        task=state0.task))()
+    pal = pallas_rollout3d(cfg, params, 0, n_envs=N, eps=eps,
+                           block_b=128, interpret=True, q0=state0.q,
+                           qd0=state0.qd, tgt=state0.tgt,
+                           task=state0.task)
+    for k in ("obs", "actions", "rewards"):
+        np.testing.assert_allclose(np.asarray(pal[k]),
+                                   np.asarray(ref[k]), atol=1e-5,
+                                   err_msg=k)

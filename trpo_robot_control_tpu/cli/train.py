@@ -55,7 +55,8 @@ def main(argv=None):
         print(f"mesh: {dict(mesh.shape)} on {n_dev} x "
               f"{jax.devices()[0].device_kind}", file=sys.stderr)
         state, history = train_sharded(cfg, mesh, n_iters=args.iters,
-                                       seed=args.seed, log_fn=log)
+                                       seed=args.seed, log_fn=log,
+                                       state=state)
     else:
         print(f"single device: {jax.devices()[0].device_kind}",
               file=sys.stderr)

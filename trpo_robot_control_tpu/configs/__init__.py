@@ -70,7 +70,7 @@ C3_FRANKA7 = ExperimentConfig(
     name="c3_franka7",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(),
+    trpo=TRPOSpec(fvp_subsample=8),
     n_envs=4096, horizon=200, n_iters=300, seed=0,
 )
 
@@ -79,7 +79,7 @@ C4_FRANKA7_OBSTACLE = ExperimentConfig(
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001, obstacle_weight=1.0,
                   obstacle_radius=0.15),
-    trpo=TRPOSpec(),
+    trpo=TRPOSpec(fvp_subsample=8),
     n_envs=16384, horizon=200, n_iters=300, seed=0,
 )
 
@@ -87,7 +87,7 @@ C5_MULTITASK = ExperimentConfig(
     name="c5_multitask",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(),
+    trpo=TRPOSpec(fvp_subsample=8),
     n_envs=65536, horizon=200, n_iters=500, seed=0,
     n_tasks=3,
 )

@@ -115,6 +115,13 @@ class TRPOSpec:
     hidden: Tuple[int, ...] = (64, 64)
     logstd_init: float = -0.5
     baseline_reg: float = 1e-3     # ridge for the linear value baseline
+    # FVP implementation: "auto" -> fused Pallas kernel on TPU, else the
+    # jax.linearize XLA form ("xla"); "kl" = jvp(grad(KL)) reference.
+    fvp_impl: str = "auto"
+    # Evaluate the Fisher on every k-th sample (classic TRPO
+    # subsample_factor). 1 = exact (parity configs); larger values trade
+    # a little Fisher estimation noise for proportionally cheaper CG.
+    fvp_subsample: int = 1
 
 
 @dataclass(frozen=True)

@@ -152,8 +152,13 @@ def make_rollout_fn(cfg: ExperimentConfig):
     planar = (ArmConstants(cfg.arm).planar
               and abs(cfg.arm.gravity) < 1e-12)
     if impl == "auto":
-        eligible = cfg.n_tasks == 1 and _jax.default_backend() != "cpu"
-        impl = ("pallas" if planar else "pallas3d") if eligible else "xla"
+        on_tpu = _jax.default_backend() != "cpu"
+        if planar:
+            # planar kernel covers the reach task only
+            impl = "pallas" if (on_tpu and cfg.n_tasks == 1) else "xla"
+        else:
+            # 3D kernel covers reach/track/push + obstacle (all configs)
+            impl = "pallas3d" if on_tpu else "xla"
     if impl in ("pallas", "pallas3d"):
         from ..ops.pallas.rollout_kernel import auto_block_b
         if planar and impl == "pallas":

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 
 
 def conjugate_gradient(fvp, g, iters: int, eps: float = 1e-12):
-    """Solve F x = g. Returns (x, final residual norm^2)."""
+    """Solve F x = g. Returns (x, final residual r, residual norm^2).
+
+    The caller can get the curvature x^T F x WITHOUT an extra FVP call:
+    F x = g - r exactly (CG invariant), so x^T F x = x.g - x.r.
+    """
 
     def body(_, state):
         x, r, p, rdotr = state
@@ -27,4 +31,4 @@ def conjugate_gradient(fvp, g, iters: int, eps: float = 1e-12):
     x0 = jnp.zeros_like(g)
     init = (x0, g, g, jnp.dot(g, g))
     x, r, _, rdotr = jax.lax.fori_loop(0, iters, body, init)
-    return x, rdotr
+    return x, r, rdotr

@@ -70,17 +70,20 @@ def _fvp_kernel(L, block_b, *refs):
     hs = [r[:] for r in h]
     ts = [1.0 - v * v for v in hs]
 
-    # forward-mode tangent through the tanh MLP
-    a = x @ dW[0][:] + db[0][:]
+    # forward-mode tangent through the tanh MLP. The two matmuls of each
+    # layer's tangent rule (dh @ W + h @ dW) are fused into ONE
+    # [dh | h] @ [W ; dW] contraction: for H=64 the concatenated K dim is
+    # exactly 128 — full MXU depth, half the matmul issues.
+    a = jnp.dot(x, dW[0][:], preferred_element_type=jnp.float32) + db[0][:]
     dh = ts[0] * a
     for l in range(1, L):
-        a = (jnp.dot(dh, W[l - 1][:], preferred_element_type=jnp.float32)
-             + jnp.dot(hs[l - 1], dW[l][:],
-                       preferred_element_type=jnp.float32) + db[l][:])
+        lhs = jnp.concatenate([dh, hs[l - 1]], axis=1)
+        rhs = jnp.concatenate([W[l - 1][:], dW[l][:]], axis=0)
+        a = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32) + db[l][:]
         dh = ts[l] * a
-    dmu = (jnp.dot(dh, W[L - 1][:], preferred_element_type=jnp.float32)
-           + jnp.dot(hs[L - 1], dW[L][:],
-                     preferred_element_type=jnp.float32) + db[L][:])
+    lhs = jnp.concatenate([dh, hs[L - 1]], axis=1)
+    rhs = jnp.concatenate([W[L - 1][:], dW[L][:]], axis=0)
+    dmu = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32) + db[L][:]
 
     # Fisher scaling + mask padded rows (their activations are garbage)
     rows = jax.lax.broadcasted_iota(jnp.int32, dmu.shape, 0)

@@ -112,6 +112,7 @@ def m_rotz(A, cq, sq):
 
 class Arm3DConsts(NamedTuple):
     n: int
+    n_tasks: int
     T_rot: tuple      # n x (3x3 float tuples)
     T_pos: tuple      # n x (3 floats)
     mass: tuple
@@ -129,15 +130,18 @@ class Arm3DConsts(NamedTuple):
     obstacle_weight: float
     obstacle_radius: float
     obstacle_center: tuple
+    track_omega: float
+    push_speed: float
+    push_weight: float
     chol_reg: float
 
 
 def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     spec = cfg.arm
     c = ArmConstants(spec)
-    assert cfg.n_tasks == 1, "3D kernel covers the reach task (+obstacle)"
     return Arm3DConsts(
         n=c.n,
+        n_tasks=int(cfg.n_tasks),
         T_rot=tuple(tuple(map(tuple, t)) for t in c.T_rot),
         T_pos=tuple(tuple(t) for t in c.T_pos),
         mass=tuple(c.mass),
@@ -154,6 +158,9 @@ def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
         obstacle_weight=float(cfg.cost.obstacle_weight),
         obstacle_radius=float(cfg.cost.obstacle_radius),
         obstacle_center=tuple(cfg.cost.obstacle_center),
+        track_omega=float(cfg.cost.track_omega),
+        push_speed=float(cfg.cost.push_speed),
+        push_weight=float(cfg.cost.push_weight),
         chol_reg=chol_reg,
     )
 
@@ -254,6 +261,87 @@ def _mass3(c: Arm3DConsts, R, p, axis, one):
     return M
 
 
+def _mass_bias_fused(c: Arm3DConsts, R, p, axis, qd):
+    """ALL n mass-matrix columns + the bias pass as ONE RNEA sweep on
+    (n+1, B) component arrays: the sublane dimension indexes the pass
+    (row j < n: zero-velocity unit-qdd_j column => M[:, j]; row n: real
+    velocity + gravity, qdd = 0 => bias). Identical recursion, ~n+1 x
+    fewer vector instructions than n+1 separate sweeps.
+
+    R/p/axis are (1, B) components and broadcast against (n+1, B).
+    Returns (M dict[(i<=j)] of (1,B), bias list of n (1,B)).
+    """
+    n = c.n
+    B_like = qd[0]
+    rows = n + 1
+    zero_r = jnp.zeros((rows,) + B_like.shape[1:], B_like.dtype)
+    zv = (zero_r, zero_r, zero_r)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+    def col_const(j):
+        """(rows, 1) selector: 1.0 in row j (built in-kernel: Pallas
+        forbids captured array constants)."""
+        return (row_ids == j).astype(B_like.dtype)
+
+    bias_row = col_const(n)
+    g_vec = (zero_r, zero_r,
+             c.gravity * bias_row + zero_r) if c.gravity else zv
+
+    w_par, wd_par = zv, zv
+    a_par = g_vec
+    p_par = (jnp.zeros_like(B_like),) * 3
+    ws, wds, acs, cws = [], [], [], []
+    for i in range(n):
+        qd_i = bias_row * qd[i]              # (rows, B): only bias row
+        qdd_i = col_const(i)                 # (rows, 1): only column i
+        r = v_sub(p[i], p_par)               # (1,B) broadcasts up
+        a_i = v_add(a_par, v_add(v_cross(wd_par, r),
+                                 v_cross(w_par, v_cross(w_par, r))))
+        s = axis[i]
+        w_i = v_add(w_par, v_scale(qd_i, s))
+        wd_i = v_add(v_add(wd_par, v_scale(qdd_i, s)),
+                     v_cross(w_par, v_scale(qd_i, s)))
+        d = m_vec_const(R[i], c.com[i])
+        ac_i = v_add(a_i, v_add(v_cross(wd_i, d),
+                                v_cross(w_i, v_cross(w_i, d))))
+        ws.append(w_i); wds.append(wd_i); acs.append(ac_i)
+        cws.append(v_add(p[i], d))
+        w_par, wd_par, a_par, p_par = w_i, wd_i, a_i, p[i]
+
+    taus = [None] * n
+    f_child, n_child = zv, zv
+    p_child = (jnp.zeros_like(B_like),) * 3
+    for i in range(n - 1, -1, -1):
+        def I_w_vec(v, Ri=R[i], Ic=c.inertia[i]):
+            tv = m_vec((Ri[0], Ri[3], Ri[6],
+                        Ri[1], Ri[4], Ri[7],
+                        Ri[2], Ri[5], Ri[8]), v)
+            iv = (tv[0] * float(Ic[0][0]) + tv[1] * float(Ic[0][1])
+                  + tv[2] * float(Ic[0][2]),
+                  tv[0] * float(Ic[1][0]) + tv[1] * float(Ic[1][1])
+                  + tv[2] * float(Ic[1][2]),
+                  tv[0] * float(Ic[2][0]) + tv[1] * float(Ic[2][1])
+                  + tv[2] * float(Ic[2][2]))
+            return m_vec(R[i], iv)
+        F = v_scale(c.mass[i], acs[i])
+        N = v_add(I_w_vec(wds[i]), v_cross(ws[i], I_w_vec(ws[i])))
+        f = v_add(F, f_child)
+        nn = v_add(v_add(N, n_child),
+                   v_add(v_cross(v_sub(cws[i], p[i]), F),
+                         v_cross(v_sub(p_child, p[i]), f_child)))
+        taus[i] = v_dot(axis[i], nn)          # (rows, B)
+        f_child, n_child, p_child = f, nn, p[i]
+
+    M = {}
+    bias = [None] * n
+    for i in range(n):
+        for j in range(i, n):
+            M[(i, j)] = taus[i][j:j + 1]
+        bias[i] = taus[i][n:n + 1]
+    return M, bias
+
+
 def _chol_solve3(c: Arm3DConsts, M, rhs):
     n = c.n
     L = {}
@@ -283,17 +371,25 @@ def _chol_solve3(c: Arm3DConsts, M, rhs):
     return x
 
 
-def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps):
-    """One 3-D env step on (1,B) components. q/qd lists of n; tgt vec3.
-    Returns (q2, qd2, obs (do,B), act (n,B), rew (1,B))."""
+def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
+    """One 3-D env step on (1,B) components. q/qd lists of n; tgt vec3;
+    task_oh: tuple of n_tasks (1,B) masks (multi-task) or None.
+    Returns (q2, qd2, tgt2, obs (do,B), act (n,B), rew (1,B)).
+
+    Mirrors envs/arm.py:step exactly: clip -> dynamics -> (track target
+    rotation) -> score at the post-step state (+ push velocity penalty
+    for family 2, obstacle penalty when enabled).
+    """
     n = c.n
     cq = [jnp.cos(x) for x in q]
     sq = [jnp.sin(x) for x in q]
     R, p, axis, ee = _fk3(c, cq, sq)
 
-    obs = jnp.concatenate(
-        cq + sq + [c.qd_obs_scale * x for x in qd]
-        + [tgt[0] - ee[0], tgt[1] - ee[1], tgt[2] - ee[2]], axis=0)
+    obs_rows = (cq + sq + [c.qd_obs_scale * x for x in qd]
+                + [tgt[0] - ee[0], tgt[1] - ee[1], tgt[2] - ee[2]])
+    if task_oh is not None:
+        obs_rows = obs_rows + list(task_oh)
+    obs = jnp.concatenate(obs_rows, axis=0)
     mu = _policy_ff(Ws, bs, obs)
     act = mu + sigma * eps
     tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
@@ -306,23 +402,45 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps):
             cq = [jnp.cos(x) for x in q]
             sq = [jnp.sin(x) for x in q]
             R, p, axis, ee = _fk3(c, cq, sq)
-        M = _mass3(c, R, p, axis, one)
-        bias = _rnea3(c, R, p, axis, qd, None, c.gravity)
+        M, bias = _mass_bias_fused(c, R, p, axis, qd)
         rhs = [tau_l[i] - bias[i] - c.damping * qd[i] for i in range(n)]
         qdd = _chol_solve3(c, M, rhs)
         qd = [jnp.clip(qd[i] + h * qdd[i], -c.qd_limit, c.qd_limit)
               for i in range(n)]
         q = [q[i] + h * qd[i] for i in range(n)]
 
+    # track task (family 1): target orbits world z before being scored
+    if task_oh is not None:
+        co = float(np.cos(c.track_omega * c.dt))
+        so = float(np.sin(c.track_omega * c.dt))
+        mask1 = task_oh[1]
+        tx = jnp.where(mask1 > 0.5, co * tgt[0] - so * tgt[1], tgt[0])
+        ty = jnp.where(mask1 > 0.5, so * tgt[0] + co * tgt[1], tgt[1])
+        tgt = (tx, ty, tgt[2])
+
     cq2 = [jnp.cos(x) for x in q]
     sq2 = [jnp.sin(x) for x in q]
-    R2, p2, _, ee2 = _fk3(c, cq2, sq2)
+    R2, p2, axis2, ee2 = _fk3(c, cq2, sq2)
     d = v_sub(ee2, tgt)
     ctrl = None
     for i in range(n):
         t2 = tau_l[i] * tau_l[i]
         ctrl = t2 if ctrl is None else ctrl + t2
     rew = -(v_dot(d, d) + c.ctrl_weight * ctrl)
+
+    if task_oh is not None and c.n_tasks > 2:
+        # push task (family 2): EE velocity should match
+        # push_speed * dir(to target); v_ee = sum qd_i axis_i x (ee - p_i)
+        v_ee = (jnp.zeros_like(ee2[0]),) * 3
+        for i in range(n):
+            v_ee = v_add(v_ee, v_scale(
+                qd[i], v_cross(axis2[i], v_sub(ee2, p2[i]))))
+        dn = jnp.sqrt(v_dot(d, d)) + 1e-6
+        dirn = (-d[0] / dn, -d[1] / dn, -d[2] / dn)
+        verr = v_sub(v_ee, v_scale(c.push_speed * jnp.ones_like(dn), dirn))
+        rew = rew - jnp.where(task_oh[2] > 0.5,
+                              c.push_weight * v_dot(verr, verr), 0.0)
+
     if c.obstacle_weight > 0.0:
         oc = c.obstacle_center
         pen = None
@@ -334,7 +452,7 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps):
             term = jnp.maximum(c.obstacle_radius - dist, 0.0) ** 2
             pen = term if pen is None else pen + term
         rew = rew - c.obstacle_weight * pen
-    return q, qd, obs, act, rew
+    return q, qd, tgt, obs, act, rew
 
 
 def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
@@ -342,6 +460,7 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
     q0_ref = next(it)
     qd0_ref = next(it)
     tgt_ref = next(it)
+    task_ref = next(it) if c.n_tasks > 1 else None
     Ws = [next(it) for _ in range(n_layers)]
     bs = [next(it) for _ in range(n_layers)]
     logstd_ref = next(it)
@@ -361,11 +480,13 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
     q = [q0_ref[i:i + 1, :] for i in range(n)]
     qd = [qd0_ref[i:i + 1, :] for i in range(n)]
     tgt = (tgt_ref[0:1, :], tgt_ref[1:2, :], tgt_ref[2:3, :])
+    task_oh = None if task_ref is None else tuple(
+        task_ref[i:i + 1, :] for i in range(c.n_tasks))
     W_blocks = [w[:] for w in Ws]
     b_blocks = [b[:] for b in bs]
 
     def body(t, carry):
-        q, qd = carry
+        q, qd, tgt = carry
         if use_prng:
             shape = (n, q[0].shape[-1])
             u1 = _uniform_01(shape)
@@ -373,20 +494,20 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
             eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         else:
             eps = eps_ref[t]
-        q2, qd2, obs, act, rew = _step3(c, W_blocks, b_blocks, sigma,
-                                        q, qd, tgt, eps)
+        q2, qd2, tgt2, obs, act, rew = _step3(
+            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, task_oh)
         obs_out[t] = obs
         act_out[t] = act
         rew_out[t] = rew
-        return (q2, qd2)
+        return (q2, qd2, tgt2)
 
-    jax.lax.fori_loop(0, T, body, (q, qd))
+    jax.lax.fori_loop(0, T, body, (q, qd, tgt))
 
 
 def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
                      n_envs=None, eps=None, block_b: int = 512,
                      interpret: bool = False, q0=None, qd0=None,
-                     tgt=None):
+                     tgt=None, task=None):
     """Fused 3-D rollout. Same contract as envs/arm.py:rollout."""
     from ...envs import arm as arm_mod
 
@@ -404,6 +525,9 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
     if q0 is None:
         state0 = arm_mod.reset(cfg, k_reset, N)
         q0, qd0, tgt = state0.q, state0.qd, state0.tgt
+        task = state0.task
+    elif task is None:
+        task = jnp.zeros(N, jnp.int32)
     seed = jax.random.randint(k_seed, (1, 1), 0,
                               np.iinfo(np.int32).max, dtype=jnp.int32)
 
@@ -424,11 +548,17 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
                                       memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    in_specs = ([batch_in(n), batch_in(n), batch_in(3)]
-                + [full(w.shape) for w in Ws]
-                + [full(b.shape) for b in bs]
-                + [full(logstd.shape)])
-    inputs = [q0_ff, qd0_ff, tgt_ff] + Ws + bs + [logstd]
+    in_specs = [batch_in(n), batch_in(n), batch_in(3)]
+    inputs = [q0_ff, qd0_ff, tgt_ff]
+    if cfg.n_tasks > 1:
+        task_oh_ff = jax.nn.one_hot(task, cfg.n_tasks,
+                                    dtype=jnp.float32).T    # (K, N)
+        in_specs.append(batch_in(cfg.n_tasks))
+        inputs.append(task_oh_ff)
+    in_specs += ([full(w.shape) for w in Ws]
+                 + [full(b.shape) for b in bs]
+                 + [full(logstd.shape)])
+    inputs += Ws + bs + [logstd]
 
     use_prng = eps is None
     if use_prng:
@@ -465,7 +595,8 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
 
 
-def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
+def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps,
+                        task=None):
     """jnp twin (lax.scan over the same component math)."""
     c = arm3d_consts(cfg)
     n = c.n
@@ -477,14 +608,18 @@ def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
     q = [q0.T[i:i + 1] for i in range(n)]
     qd = [qd0.T[i:i + 1] for i in range(n)]
     tgt_t = (tgt[:, 0:1].T, tgt[:, 1:2].T, tgt[:, 2:3].T)
+    task_oh = None
+    if cfg.n_tasks > 1:
+        oh = jax.nn.one_hot(task, cfg.n_tasks, dtype=jnp.float32).T
+        task_oh = tuple(oh[i:i + 1] for i in range(cfg.n_tasks))
 
     def body(carry, eps_t):
-        q, qd = carry
-        q2, qd2, obs, act, rew = _step3(c, Ws, bs, sigma, q, qd, tgt_t,
-                                        eps_t.T)
-        return (q2, qd2), (obs, act, rew)
+        q, qd, tgt_c = carry
+        q2, qd2, tgt2, obs, act, rew = _step3(c, Ws, bs, sigma, q, qd,
+                                              tgt_c, eps_t.T, task_oh)
+        return (q2, qd2, tgt2), (obs, act, rew)
 
-    (_, _), (obs, act, rew) = jax.lax.scan(body, (q, qd), eps)
+    (_, _, _), (obs, act, rew) = jax.lax.scan(body, (q, qd, tgt_t), eps)
     return dict(obs=jnp.transpose(obs, (2, 0, 1)),
                 actions=jnp.transpose(act, (2, 0, 1)),
                 rewards=jnp.transpose(rew[:, 0, :], (1, 0)))

@@ -115,11 +115,11 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 
 def train_sharded(cfg: ExperimentConfig, mesh: Mesh, n_iters=None,
-                  seed=None, log_fn=None):
+                  seed=None, log_fn=None, state=None):
     """Training loop over the sharded step (host pulls metrics only)."""
     import time
     n_iters = cfg.n_iters if n_iters is None else n_iters
-    state = init_state(cfg, seed)
+    state = init_state(cfg, seed) if state is None else state
     step = make_sharded_train_step(cfg, mesh)
     history = []
     for _ in range(n_iters):

@@ -90,13 +90,27 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
 
     # ---- 4) CG on the damped FVP (the reference's accelerator boundary,
     #          SURVEY.md section 5.2 — here: traced matvecs + pmean on ICI)
-    make_fvp = make_gn_fvp if fvp_form == "gn" else make_kl_fvp
-    fvp = make_fvp(params, unravel, obs_f, tr.cg_damping,
-                   axis_name=axis_name)
-    x, cg_residual = conjugate_gradient(fvp, g, tr.cg_iters)
+    impl = tr.fvp_impl if fvp_form == "gn" else "kl"
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    # classic TRPO subsample_factor: the Fisher is an expectation — a
+    # strided subsample estimates it at 1/k the CG cost (stride keeps the
+    # subsample spread across envs and timesteps deterministically)
+    obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 else obs_f
+    if impl == "pallas":
+        from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
+        fvp = make_pallas_gn_fvp(params, unravel, obs_fvp, tr.cg_damping,
+                                 axis_name=axis_name, block_b=1024)
+    else:
+        make_fvp = make_gn_fvp if impl != "kl" else make_kl_fvp
+        fvp = make_fvp(params, unravel, obs_fvp, tr.cg_damping,
+                       axis_name=axis_name)
+    x, r_final, cg_residual = conjugate_gradient(fvp, g, tr.cg_iters)
 
-    # ---- 5) KL-constrained step size from damped curvature
-    xhx = jnp.dot(x, fvp(x))
+    # ---- 5) KL-constrained step size from damped curvature. CG gives
+    # F x = g - r exactly, so x^T F x = x.g - x.r — no extra FVP call
+    # (mathematically identical to the oracle's explicit fvp(x)).
+    xhx = jnp.dot(x, g) - jnp.dot(x, r_final)
     beta = jnp.sqrt(2.0 * tr.delta / (xhx + 1e-12))
 
     # ---- 6) backtracking line search (on-device while_loop)
