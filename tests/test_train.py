@@ -3,6 +3,7 @@ backend with small configs: return improves, KL constraint respected,
 checkpoint/resume is bit-deterministic.
 """
 import numpy as np
+import pytest
 
 import jax
 
@@ -23,6 +24,22 @@ def test_training_improves_return():
     accepted = [h for h in hist if h["accepted"] >= 0]
     assert len(accepted) >= len(hist) - 2     # almost every step accepted
     assert all(h["kl"] <= CFG.trpo.delta + 1e-6 for h in accepted)
+
+
+@pytest.mark.slow
+def test_long_training_no_linesearch_stall():
+    """Regression: near-converged policies drive cond(Phi^T Phi) past the
+    fp32 Cholesky cliff; a NaN baseline fit used to freeze the line
+    search permanently (accepted = -1 forever). The eigh-based solve
+    (models/baseline.py:fit_normal) must keep every step accepted."""
+    cfg = C1_REACHER2.replace(n_envs=64, horizon=40)
+    _, hist = train(cfg, n_iters=60, seed=0)
+    rejects = [h for h in hist if h["accepted"] < 0]
+    assert not rejects, f"{len(rejects)} rejected steps"
+    assert all(np.isfinite(h["beta"]) for h in hist)
+    first = np.mean([h["mean_return"] for h in hist[:5]])
+    last = np.mean([h["mean_return"] for h in hist[-5:]])
+    assert last > first
 
 
 def test_checkpoint_resume_deterministic(tmp_path):

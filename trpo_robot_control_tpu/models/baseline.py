@@ -38,13 +38,28 @@ def fit(phi_flat, targets_flat, reg: float):
     return fit_normal(A, b)
 
 
-def fit_normal(A, b, eps: float = 1e-20):
-    """Cholesky solve with Jacobi (diagonal) preconditioning: the normal
-    equations square the feature matrix's condition number, which at fp32
-    loses digits on the polynomial time features — rescaling by
-    D^-1/2 A D^-1/2 recovers them. Exact-arithmetic solution unchanged."""
+def fit_normal(A, b, eps: float = 1e-20, rel_floor: float = 1e-6):
+    """Solve the (ridge-regularised) normal equations robustly at fp32.
+
+    The normal equations square the feature matrix's condition number;
+    on near-converged policies cond(A) reaches ~1e8 — past the fp32
+    Cholesky cliff (observed: NaN weights that then poison GAE targets
+    and freeze training). Method:
+
+    1. Jacobi scaling D^-1/2 A D^-1/2 (exact-arithmetic no-op);
+    2. eigendecomposition solve with a RELATIVE eigenvalue floor —
+       directions with lambda < rel_floor * lambda_max are dropped
+       (pseudo-inverse); they are near-null of Phi^T Phi and contribute
+       ~nothing to predictions, which is what parity tests compare.
+
+    F is small (2*obs_dim + 4), so eigh costs microseconds.
+    """
     d = jnp.sqrt(jnp.diagonal(A) + eps)
     A_s = A / (d[:, None] * d[None, :])
-    L = jnp.linalg.cholesky(A_s)
-    y = jax.scipy.linalg.cho_solve((L, True), b / d)
-    return y / d
+    lam, Q = jnp.linalg.eigh(A_s)
+    inv = jnp.where(lam > rel_floor * lam[-1], 1.0 / lam, 0.0)
+    w_s = Q @ (inv * (Q.T @ (b / d)))
+    w = w_s / d
+    # belt-and-braces: a non-finite fit degrades to a zero baseline for
+    # one iteration instead of permanently poisoning the GAE targets
+    return jnp.where(jnp.isfinite(w), w, 0.0)
