@@ -66,6 +66,11 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
     shape — SURVEY.md section 9 hard-part 5).
     """
     n_data = mesh.shape[DATA_AXIS]
+    if mesh.shape.get(MODEL_AXIS, 1) != 1:
+        raise NotImplementedError(
+            "the 'model' axis is reserved for tensor parallelism of "
+            "larger policies; the 2-layer-MLP update replicates "
+            "parameters — build the mesh with n_model=1")
     if cfg.n_envs % n_data:
         raise ValueError(f"n_envs={cfg.n_envs} not divisible by "
                          f"data-axis size {n_data}")
