@@ -47,6 +47,14 @@ def main(argv=None):
         cfg = cfg.replace(horizon=args.horizon)
 
     log = JsonlLogger(args.jsonl)
+    from ..utils.checkpoint import config_hash
+    if log._fh:
+        import json as _json
+        log._fh.write(_json.dumps({"config": cfg.name,
+                                   "config_hash": config_hash(cfg),
+                                   "n_envs": cfg.n_envs,
+                                   "horizon": cfg.horizon}) + "\n")
+        log._fh.flush()
     state = load_checkpoint(args.resume, cfg) if args.resume else None
 
     n_dev = len(jax.devices())

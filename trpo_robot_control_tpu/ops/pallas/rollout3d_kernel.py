@@ -343,31 +343,36 @@ def _mass_bias_fused(c: Arm3DConsts, R, p, axis, qd):
 
 
 def _chol_solve3(c: Arm3DConsts, M, rhs):
+    """Unrolled Cholesky; divisions/sqrts replaced by ONE rsqrt per pivot
+    + reciprocal multiplies (VPU div/sqrt are many-cycle; this was the
+    single biggest cost in the fused rollout by ablation)."""
     n = c.n
     L = {}
+    inv_d = [None] * n
     for j in range(n):
         s = M[(j, j)] + c.chol_reg
         for k in range(j):
             s = s - L[(j, k)] * L[(j, k)]
-        L[(j, j)] = jnp.sqrt(s)
-        inv = 1.0 / L[(j, j)]
+        inv = jax.lax.rsqrt(s)
+        inv_d[j] = inv
+        L[(j, j)] = s * inv                    # = sqrt(s)
         for i in range(j + 1, n):
-            s = M[(j, i)] if (j, i) in M else M[(i, j)]
+            t = M[(j, i)] if (j, i) in M else M[(i, j)]
             for k in range(j):
-                s = s - L[(i, k)] * L[(j, k)]
-            L[(i, j)] = s * inv
+                t = t - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = t * inv
     y = [None] * n
     for i in range(n):
         s = rhs[i]
         for k in range(i):
             s = s - L[(i, k)] * y[k]
-        y[i] = s / L[(i, i)]
+        y[i] = s * inv_d[i]
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
         for k in range(i + 1, n):
             s = s - L[(k, i)] * x[k]
-        x[i] = s / L[(i, i)]
+        x[i] = s * inv_d[i]
     return x
 
 

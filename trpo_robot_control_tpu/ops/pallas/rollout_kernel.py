@@ -183,34 +183,37 @@ def _bias_ff(c: PlanarConsts, qd, px, py, cx, cy):
 
 
 def _chol_solve_ff(c: PlanarConsts, M, rhs):
-    """Solve (M + reg I) x = rhs; unrolled Cholesky on (1,B) entries."""
+    """Solve (M + reg I) x = rhs; unrolled Cholesky on (1,B) entries.
+    One rsqrt per pivot + reciprocal multiplies (no VPU divides)."""
     n = c.n
     L = {}
+    inv_d = [None] * n
     for j in range(n):
         s = M[(j, j)] + c.chol_reg
         for k in range(j):
             s = s - L[(j, k)] * L[(j, k)]
-        L[(j, j)] = jnp.sqrt(s)
-        inv = 1.0 / L[(j, j)]
+        inv = jax.lax.rsqrt(s)
+        inv_d[j] = inv
+        L[(j, j)] = s * inv                    # = sqrt(s)
         for i in range(j + 1, n):
-            s = M[(j, i)]
+            t = M[(j, i)]
             for k in range(j):
-                s = s - L[(i, k)] * L[(j, k)]
-            L[(i, j)] = s * inv
+                t = t - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = t * inv
     # forward substitution L y = rhs
     y = [None] * n
     for i in range(n):
         s = rhs[i]
         for k in range(i):
             s = s - L[(i, k)] * y[k]
-        y[i] = s / L[(i, i)]
+        y[i] = s * inv_d[i]
     # back substitution L^T x = y
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
         for k in range(i + 1, n):
             s = s - L[(k, i)] * x[k]
-        x[i] = s / L[(i, i)]
+        x[i] = s * inv_d[i]
     return x
 
 
