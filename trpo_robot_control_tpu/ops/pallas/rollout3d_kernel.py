@@ -11,10 +11,10 @@ away at trace time.
 
 Per step, entirely in VMEM:
   FK -> observation -> policy MLP (MXU, feature-first) -> Box-Muller
-  sampling (on-chip PRNG) -> mass matrix (n specialised zero-velocity
-  RNEA columns) + bias (full RNEA with gravity) -> unrolled Cholesky
-  solve -> semi-implicit Euler (n_substeps) -> reward (+ smooth obstacle
-  penalty when enabled).
+  sampling (on-chip PRNG) -> all n mass-matrix columns + gravity bias as
+  ONE sublane-stacked RNEA sweep (_mass_bias_fused) -> unrolled
+  rsqrt-Cholesky solve -> semi-implicit Euler (n_substeps) -> reward
+  (+ track/push task terms and smooth obstacle penalty when enabled).
 
 Correctness twin: rollout3d_reference (lax.scan over the same math) and,
 transitively, the generic RNEA path + fp64 oracle + MuJoCo
@@ -23,7 +23,6 @@ transitively, the generic RNEA path + fp64 oracle + MuJoCo
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -184,81 +183,6 @@ def _fk3(c: Arm3DConsts, cq, sq):
         R_par, p_par = R_i, p_i
     ee = v_add(p[-1], m_vec_const(R[-1], c.ee_offset))
     return R, p, axis, ee
-
-
-def _rnea3(c: Arm3DConsts, R, p, axis, qd, qdd, gravity):
-    """World-frame RNEA on component arrays — mirrors
-    envs/rigid_body.py:rnea. qd/qdd: lists of (1,B) or None (= zeros).
-    Returns list of n torques (1,B)."""
-    n = c.n
-    zero = jnp.zeros_like(R[0][0])
-    zv = (zero, zero, zero)
-    w_par, wd_par = zv, zv
-    a_par = (zero, zero, gravity * jnp.ones_like(zero)) \
-        if gravity else zv
-    ws, wds, acs, cws = [], [], [], []
-    p_par = zv
-    for i in range(n):
-        r = v_sub(p[i], p_par)
-        a_i = v_add(a_par, v_add(v_cross(wd_par, r),
-                                 v_cross(w_par, v_cross(w_par, r))))
-        qdi = qd[i] if qd is not None else None
-        qddi = qdd[i] if qdd is not None else None
-        w_i = v_add(w_par, v_scale(qdi, axis[i])) if qdi is not None \
-            else w_par
-        wd_i = wd_par
-        if qddi is not None:
-            wd_i = v_add(wd_i, v_scale(qddi, axis[i]))
-        if qdi is not None:
-            wd_i = v_add(wd_i, v_cross(w_par, v_scale(qdi, axis[i])))
-        d = m_vec_const(R[i], c.com[i])
-        ac_i = v_add(a_i, v_add(v_cross(wd_i, d),
-                                v_cross(w_i, v_cross(w_i, d))))
-        ws.append(w_i); wds.append(wd_i); acs.append(ac_i)
-        cws.append(v_add(p[i], d))
-        w_par, wd_par, a_par, p_par = w_i, wd_i, a_i, p[i]
-
-    taus = [None] * n
-    f_child, n_child, p_child = zv, zv, zv
-    for i in range(n - 1, -1, -1):
-        # I_w = R I R^T; N = I_w wd + w x (I_w w)
-        Ic = c.inertia[i]
-        # columns of R scaled by diag-ish inertia: compute I_w v via
-        # R @ (I @ (R^T v)) to stay at 2 matvecs + const matvec
-        def I_w_vec(v, Ri=R[i], Ic=Ic):
-            tv = m_vec((Ri[0], Ri[3], Ri[6],
-                        Ri[1], Ri[4], Ri[7],
-                        Ri[2], Ri[5], Ri[8]), v)     # R^T v
-            iv = (tv[0] * float(Ic[0][0]) + tv[1] * float(Ic[0][1])
-                  + tv[2] * float(Ic[0][2]),
-                  tv[0] * float(Ic[1][0]) + tv[1] * float(Ic[1][1])
-                  + tv[2] * float(Ic[1][2]),
-                  tv[0] * float(Ic[2][0]) + tv[1] * float(Ic[2][1])
-                  + tv[2] * float(Ic[2][2]))
-            return m_vec(R[i], iv)
-        F = v_scale(c.mass[i], acs[i])
-        N = v_add(I_w_vec(wds[i]),
-                  v_cross(ws[i], I_w_vec(ws[i])))
-        f = v_add(F, f_child)
-        nn = v_add(v_add(N, n_child),
-                   v_add(v_cross(v_sub(cws[i], p[i]), F),
-                         v_cross(v_sub(p_child, p[i]), f_child)))
-        taus[i] = v_dot(axis[i], nn)
-        f_child, n_child, p_child = f, nn, p[i]
-    return taus
-
-
-def _mass3(c: Arm3DConsts, R, p, axis, one):
-    """M columns via zero-velocity unit-qdd RNEA (gravity off)."""
-    n = c.n
-    zero = jnp.zeros_like(one)
-    M = {}
-    for j in range(n):
-        qdd = [one if i == j else None for i in range(n)]
-        col = _rnea3(c, R, p, axis, None, qdd, 0.0)
-        for i in range(n):
-            M[(min(i, j), max(i, j))] = col[i]
-    return M
 
 
 def _mass_bias_fused(c: Arm3DConsts, R, p, axis, qd):
