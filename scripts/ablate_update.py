@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Ablate where c2's per-update time goes (CG vs the rest).
+
+Times `make_train_many` chains at cg_iters in {10, 1} and ls_steps in
+{10, 1} with bench.py's fetch-forced method, and prints the marginal
+cost of 9 CG/FVP iterations and 9 line-search exponents. Leaves data
+for the next optimization round (docs/performance.md "where the
+remaining time goes").
+
+Run alone (never concurrently with another TPU process).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fetch(x):
+    return float(np.asarray(x).ravel()[-1])
+
+
+def main():
+    import jax
+
+    from trpo_robot_control_tpu.configs import CONFIGS
+    from trpo_robot_control_tpu.trpo.train import init_state, make_train_many
+
+    base = CONFIGS["c2_reacher3"]
+    n_updates = 16
+    results = {}
+    for tag, trpo_kw in [
+        ("base(cg10,ls10)", {}),
+        ("cg1", {"cg_iters": 1}),
+        ("ls1", {"ls_steps": 1}),
+        ("cg1+ls1", {"cg_iters": 1, "ls_steps": 1}),
+    ]:
+        cfg = base.replace(trpo=dataclasses.replace(base.trpo, **trpo_kw))
+        state = init_state(cfg, seed=0)
+        many = make_train_many(cfg, n_updates, mesh=None)
+        state, stats = many(state)              # compile + warm
+        _fetch(stats["mean_return"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, stats = many(state)
+            _fetch(stats["mean_return"])
+            best = min(best, time.perf_counter() - t0)
+        results[tag] = 1e3 * best / n_updates
+        print(f"{tag:18s} {results[tag]:7.3f} ms/update", flush=True)
+
+    cg9 = results["base(cg10,ls10)"] - results["cg1"]
+    ls9 = results["base(cg10,ls10)"] - results["ls1"]
+    print(json.dumps({
+        "per_update_ms": results,
+        "marginal_9_cg_fvp_ms": cg9,
+        "per_fvp_iter_ms": cg9 / 9.0,
+        "marginal_9_ls_steps_ms": ls9,
+        "residual_cg1_ls1_ms": results["cg1+ls1"],
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
