@@ -14,7 +14,6 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "trpo_cpu.cpp")
-_LIB = os.path.join(_DIR, "libtrpo_cpu.so")
 
 
 class NativeConfig(ctypes.Structure):
@@ -53,13 +52,20 @@ class NativeConfig(ctypes.Structure):
 
 
 def build(force: bool = False) -> str:
-    if force or not os.path.exists(_LIB) or \
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    """Build (or reuse) the shared library, keyed by a content hash of the
+    source: the library name embeds sha256(trpo_cpu.cpp)[:16], so a source
+    edit — or a stale binary from another machine (-march=native!) — can
+    never be loaded by mistake. The .so is never committed (.gitignore)."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    lib_path = os.path.join(_DIR, f"libtrpo_cpu.{digest}.so")
+    if force or not os.path.exists(lib_path):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-             "-std=c++17", _SRC, "-o", _LIB],
+             "-std=c++17", _SRC, "-o", lib_path],
             check=True, capture_output=True)
-    return _LIB
+    return lib_path
 
 
 _lib = None

@@ -64,7 +64,9 @@ def main(argv=None):
               f"{jax.devices()[0].device_kind}", file=sys.stderr)
         state, history = train_sharded(cfg, mesh, n_iters=args.iters,
                                        seed=args.seed, log_fn=log,
-                                       state=state)
+                                       state=state,
+                                       checkpoint_every=args.ckpt_every,
+                                       checkpoint_dir=args.ckpt_dir)
     else:
         print(f"single device: {jax.devices()[0].device_kind}",
               file=sys.stderr)

@@ -151,25 +151,32 @@ def make_rollout_fn(cfg: ExperimentConfig):
     impl = cfg.rollout_impl
     planar = (ArmConstants(cfg.arm).planar
               and abs(cfg.arm.gravity) < 1e-12)
+    # planar kernel covers the bare reach task only; the 3D (RNEA) kernel
+    # covers reach/track/push + obstacle for ANY arm, planar included
+    planar_ok = planar and cfg.n_tasks == 1 and cfg.cost.obstacle_weight == 0.0
     if impl == "auto":
         on_tpu = _jax.default_backend() != "cpu"
-        if planar:
-            # planar kernel covers the reach task only
-            impl = "pallas" if (on_tpu and cfg.n_tasks == 1) else "xla"
+        if not on_tpu:
+            impl = "xla"
         else:
-            # 3D kernel covers reach/track/push + obstacle (all configs)
-            impl = "pallas3d" if on_tpu else "xla"
+            impl = "pallas" if planar_ok else "pallas3d"
     if impl in ("pallas", "pallas3d"):
         from ..ops.pallas.rollout_kernel import auto_block_b
-        if planar and impl == "pallas":
+        if planar_ok and impl == "pallas":
             from ..ops.pallas.rollout_kernel import pallas_rollout as pr
         else:
             from ..ops.pallas.rollout3d_kernel import pallas_rollout3d as pr
+            impl = "pallas3d"
 
         def fn(params, key, n_envs=None):
             n = cfg.n_envs if n_envs is None else n_envs
-            return pr(cfg, params, key, n_envs=n,
-                      block_b=auto_block_b(cfg, n))
+            bb = auto_block_b(cfg, n)
+            if n % bb:
+                # no 128-multiple tile divides this env count; take the
+                # XLA scan path rather than fail the kernel's tiling
+                # assertion (any n_envs must work, not just powers of two)
+                return rollout(cfg, params, _policy.sample, key, n_envs=n)
+            return pr(cfg, params, key, n_envs=n, block_b=bb)
 
         return fn
     return lambda params, key, n_envs=None: rollout(

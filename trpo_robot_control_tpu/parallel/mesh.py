@@ -120,14 +120,16 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 
 def train_sharded(cfg: ExperimentConfig, mesh: Mesh, n_iters=None,
-                  seed=None, log_fn=None, state=None):
-    """Training loop over the sharded step (host pulls metrics only)."""
+                  seed=None, log_fn=None, state=None,
+                  checkpoint_every: int = 0, checkpoint_dir=None):
+    """Training loop over the sharded step (host pulls metrics only).
+    Periodic checkpointing mirrors trpo/train.py:train."""
     import time
     n_iters = cfg.n_iters if n_iters is None else n_iters
     state = init_state(cfg, seed) if state is None else state
     step = make_sharded_train_step(cfg, mesh)
     history = []
-    for _ in range(n_iters):
+    for it in range(n_iters):
         t0 = time.perf_counter()
         state, stats = step(state)
         stats = {k: float(v) for k, v in stats.items()}
@@ -136,4 +138,8 @@ def train_sharded(cfg: ExperimentConfig, mesh: Mesh, n_iters=None,
         history.append(stats)
         if log_fn is not None:
             log_fn(stats)
+        if checkpoint_every and checkpoint_dir and \
+                (it + 1) % checkpoint_every == 0:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_dir, cfg, state)
     return state, history

@@ -97,26 +97,17 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # strided subsample estimates it at 1/k the CG cost (stride keeps the
     # subsample spread across envs and timesteps deterministically)
     obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 else obs_f
-    if impl == "pallas_cg" and axis_name is None:
-        # alternative: the WHOLE damped CG solve in one Pallas kernel
-        # (ops/pallas/cg_kernel.py). Correct but measured SLOWER than the
-        # per-call loop on v5e (monolithic grid inhibits input pipeline
-        # overlap), so not the default.
-        from ..ops.pallas.cg_kernel import make_pallas_cg
-        solve = make_pallas_cg(params, unravel, obs_fvp, tr.cg_damping,
-                               tr.cg_iters, block_b=1024)
-        x, r_final, cg_residual = solve(g)
+    if impl == "pallas":
+        from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
+        fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
+                                 tr.cg_damping, axis_name=axis_name,
+                                 block_b=1024,
+                                 interpret=jax.default_backend() == "cpu")
     else:
-        if impl in ("pallas", "pallas_cg"):
-            from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
-            fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
-                                     tr.cg_damping, axis_name=axis_name,
-                                     block_b=1024)
-        else:
-            make_fvp = make_gn_fvp if impl != "kl" else make_kl_fvp
-            fvp = make_fvp(params, unravel, obs_fvp, tr.cg_damping,
-                           axis_name=axis_name)
-        x, r_final, cg_residual = conjugate_gradient(fvp, g, tr.cg_iters)
+        make_fvp = make_gn_fvp if impl != "kl" else make_kl_fvp
+        fvp = make_fvp(params, unravel, obs_fvp, tr.cg_damping,
+                       axis_name=axis_name)
+    x, r_final, cg_residual = conjugate_gradient(fvp, g, tr.cg_iters)
 
     # ---- 5) KL-constrained step size from damped curvature. CG gives
     # F x = g - r exactly, so x^T F x = x.g - x.r — no extra FVP call
