@@ -94,6 +94,8 @@ def make_config(cfg) -> NativeConfig:
     c = ArmConstants(spec)
     assert c.planar and cfg.n_tasks == 1 and abs(spec.gravity) < 1e-12, \
         "native backend covers planar single-task arms"
+    assert cfg.done_dist == 0.0, \
+        "native backend runs fixed-horizon episodes"
     n = spec.n_joints
     assert n <= 8
     hidden = cfg.trpo.hidden

@@ -88,15 +88,19 @@ def fit_baseline(phi_flat, targets_flat, reg):
 
 
 # ----------------------------------------------------------------- gae
-def gae(rewards, values, gamma, lam):
-    """rewards/values (N,T); episodes end at t = T-1 (no bootstrap).
-    Returns raw advantages (N,T)."""
+def gae(rewards, values, gamma, lam, dones=None):
+    """rewards/values (N,T); episodes end where dones == 1 (post-step
+    flag; always at t = T-1 — no bootstrap). dones=None means fixed
+    horizon. Returns raw advantages (N,T)."""
     N, T = rewards.shape
     adv = np.zeros((N, T))
     next_v = np.zeros(N)
     next_a = np.zeros(N)
     for t in range(T - 1, -1, -1):
-        nonterm = 0.0 if t == T - 1 else 1.0
+        if dones is None:
+            nonterm = 0.0 if t == T - 1 else 1.0
+        else:
+            nonterm = 1.0 - dones[:, t]
         delta = rewards[:, t] + gamma * next_v * nonterm - values[:, t]
         next_a = delta + gamma * lam * nonterm * next_a
         adv[:, t] = next_a
@@ -167,7 +171,8 @@ def trpo_update(cfg: ExperimentConfig, params, w_baseline, batch):
     # 1) values from OLD baseline; GAE; whiten; targets; refit (order fixed)
     phi = baseline_features(obs, T)
     values = phi @ w_baseline
-    adv_raw = gae(rewards, values, tr.gamma, tr.lam)
+    adv_raw = gae(rewards, values, tr.gamma, tr.lam,
+                  dones=batch.get("dones"))
     adv = (adv_raw - adv_raw.mean()) / (adv_raw.std() + 1e-8)
     targets = adv_raw + values
     w_new = fit_baseline(phi.reshape(B, -1), targets.reshape(B),
@@ -217,11 +222,18 @@ def trpo_update(cfg: ExperimentConfig, params, w_baseline, batch):
 # --------------------------------------------------------------- train
 def collect_rollouts(cfg: ExperimentConfig, env: OracleEnv, params,
                      rng: np.random.RandomState):
+    """Fixed-shape batch collection. With cfg.done_dist > 0 an env whose
+    post-step end-effector reaches within done_dist of the target is
+    flagged done and auto-reset to a fresh episode before the next step
+    (mirrors trpo_robot_control_tpu/envs/arm.py:rollout); the final step
+    always terminates."""
     N, T = cfg.n_envs, cfg.horizon
+    terminating = cfg.done_dist > 0.0
     q, qd, tgt = env.reset(rng, N)
     obs_buf = np.zeros((N, T, cfg.arm.obs_dim))
     act_buf = np.zeros((N, T, env.n))
     rew_buf = np.zeros((N, T))
+    done_buf = np.zeros((N, T))
     sigma = np.exp(params["logstd"])
     for t in range(T):
         o = env.obs(q, qd, tgt)
@@ -231,7 +243,19 @@ def collect_rollouts(cfg: ExperimentConfig, env: OracleEnv, params,
         obs_buf[:, t] = o
         act_buf[:, t] = a
         rew_buf[:, t] = r
-    return dict(obs=obs_buf, actions=act_buf, rewards=rew_buf)
+        if terminating:
+            ee = np.stack([env.model.ee_pos(q[i]) for i in range(N)])
+            done = np.sum((ee - tgt) ** 2, axis=-1) < cfg.done_dist ** 2
+            done_buf[:, t] = done
+            if done.any():
+                q2, qd2, tgt2 = env.reset(rng, N)
+                q[done], qd[done], tgt[done] = \
+                    q2[done], qd2[done], tgt2[done]
+    batch = dict(obs=obs_buf, actions=act_buf, rewards=rew_buf)
+    if terminating:
+        done_buf[:, T - 1] = 1.0
+        batch["dones"] = done_buf
+    return batch
 
 
 def train(cfg: ExperimentConfig, n_iters=None, seed=None, verbose=False):

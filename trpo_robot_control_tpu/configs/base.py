@@ -137,6 +137,13 @@ class ExperimentConfig:
     # multi-task (config 5): number of goal families mixed per batch.
     # 1 = reach only; 3 = reach / track / push (see envs/costs.py).
     n_tasks: int = 1
+    # Early episode termination (SURVEY.md section 2 L4 "episode
+    # reset/termination"): an episode ends as soon as the post-step
+    # end-effector is within this distance of the target, and the env
+    # auto-resets to a fresh episode at the next step (all buffer slots
+    # stay valid; GAE breaks the trajectory at the done flag). 0 disables
+    # — episodes are fixed-horizon with termination only at t = T-1.
+    done_dist: float = 0.0
     # rollout implementation: "auto" picks the fused Pallas kernel on TPU
     # for planar single-task arms, the XLA scan path otherwise.
     rollout_impl: str = "auto"

@@ -156,7 +156,9 @@ def make_rollout_fn(cfg: ExperimentConfig):
     planar_ok = planar and cfg.n_tasks == 1 and cfg.cost.obstacle_weight == 0.0
     if impl == "auto":
         on_tpu = _jax.default_backend() != "cpu"
-        if not on_tpu:
+        if not on_tpu or cfg.done_dist > 0.0:
+            # early-termination auto-reset is implemented on the scan
+            # path only (the fused kernels run fixed-horizon episodes)
             impl = "xla"
         else:
             impl = "pallas" if planar_ok else "pallas3d"
@@ -187,22 +189,46 @@ def rollout(cfg: ExperimentConfig, params, policy_sample, key, n_envs=None):
     """Collect a fresh batch: reset all envs, scan the horizon.
 
     `policy_sample(params, obs, key) -> action` keeps the policy pluggable.
-    Returns dict(obs (N,T,do), actions (N,T,da), rewards (N,T)).
+    Returns dict(obs (N,T,do), actions (N,T,da), rewards (N,T)) plus
+    dones (N,T) when early termination is enabled (cfg.done_dist > 0):
+    an env whose post-step end-effector reaches within done_dist of the
+    target is flagged done and auto-reset to a fresh episode before the
+    next step (mirrors oracle/trpo.py:collect_rollouts).
     """
     n_envs = cfg.n_envs if n_envs is None else n_envs
+    terminating = cfg.done_dist > 0.0
     k_reset, k_roll = jax.random.split(key)
     state0 = reset(cfg, k_reset, n_envs)
 
     def body(carry, key_t):
         state = carry
         o = observe(cfg, state)
-        a = policy_sample(params, o, key_t)
+        if terminating:
+            k_act, k_re = jax.random.split(key_t)
+        else:
+            k_act = key_t
+        a = policy_sample(params, o, k_act)
         state2, r = step(cfg, state, a)
-        return state2, (o, a, r)
+        if not terminating:
+            return state2, (o, a, r, jnp.zeros_like(r))
+        ee = rb.ee_pos(cfg.arm, state2.q)
+        done = jnp.sum((ee - state2.tgt) ** 2, axis=-1) \
+            < cfg.done_dist ** 2
+        fresh = reset(cfg, k_re, n_envs)
+        state3 = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape(done.shape + (1,) * (new.ndim - 1)),
+                new, old),
+            fresh, state2)
+        return state3, (o, a, r, done.astype(r.dtype))
 
     keys = jax.random.split(k_roll, cfg.horizon)
-    _, (obs, act, rew) = jax.lax.scan(body, state0, keys)
+    _, (obs, act, rew, don) = jax.lax.scan(body, state0, keys)
     # scan stacks on axis 0 (time); transpose to (N, T, ...)
-    return dict(obs=jnp.swapaxes(obs, 0, 1),
-                actions=jnp.swapaxes(act, 0, 1),
-                rewards=jnp.swapaxes(rew, 0, 1))
+    batch = dict(obs=jnp.swapaxes(obs, 0, 1),
+                 actions=jnp.swapaxes(act, 0, 1),
+                 rewards=jnp.swapaxes(rew, 0, 1))
+    if terminating:
+        # the final step always terminates (fixed buffer end, no bootstrap)
+        batch["dones"] = jnp.swapaxes(don, 0, 1).at[:, -1].set(1.0)
+    return batch

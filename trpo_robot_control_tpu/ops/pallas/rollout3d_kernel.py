@@ -138,6 +138,9 @@ class Arm3DConsts(NamedTuple):
 def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     spec = cfg.arm
     c = ArmConstants(spec)
+    assert cfg.done_dist == 0.0, \
+        "fused kernels run fixed-horizon episodes (early termination " \
+        "routes to the XLA scan path in envs/arm.py:make_rollout_fn)"
     return Arm3DConsts(
         n=c.n,
         n_tasks=int(cfg.n_tasks),

@@ -79,6 +79,9 @@ def planar_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     assert c.planar, "fused rollout kernel requires a planar arm"
     assert abs(spec.gravity) < 1e-12, "planar kernel assumes zero gravity"
     assert cfg.n_tasks == 1, "planar kernel covers the reach task"
+    assert cfg.done_dist == 0.0, \
+        "fused kernels run fixed-horizon episodes (early termination " \
+        "routes to the XLA scan path in envs/arm.py:make_rollout_fn)"
     n = spec.n_joints
     l = tuple(float(spec.joints[i + 1].pos[0]) for i in range(n - 1)) \
         + (float(spec.ee_offset[0]),)

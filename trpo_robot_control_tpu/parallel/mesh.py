@@ -95,11 +95,13 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
     return jax.jit(sharded, **kw)
 
 
-def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh):
+def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,
+                        batch_keys=("obs", "actions", "rewards")):
     """Sharded update on a PRE-COLLECTED batch (envs axis sharded over
-    'data'). Used by the equivalence tests and external data pipelines."""
-    batch_spec = dict(obs=P(DATA_AXIS), actions=P(DATA_AXIS),
-                      rewards=P(DATA_AXIS))
+    'data'). Used by the equivalence tests and external data pipelines.
+    batch_keys must match the batch dict (include "dones" for
+    early-termination batches)."""
+    batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
 
     def local_update(params, w, batch):
         return trpo_update(cfg, params, w, batch, axis_name=DATA_AXIS)

@@ -38,8 +38,8 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
                 return_directions: bool = False):
     """One TRPO update on a collected batch.
 
-    batch: dict(obs (N,T,do), actions (N,T,da), rewards (N,T)) — the LOCAL
-    shard when running under shard_map.
+    batch: dict(obs (N,T,do), actions (N,T,da), rewards (N,T)
+    [, dones (N,T)]) — the LOCAL shard when running under shard_map.
     Returns (new_params, new_w, stats).
     """
     tr = cfg.trpo
@@ -51,7 +51,8 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # ---- 1) values (old baseline) -> GAE -> whiten -> targets -> refit
     phi = baseline.features(obs, cfg.horizon)
     values = baseline.predict(w, phi)
-    adv_raw = gae(rewards, values, tr.gamma, tr.lam)
+    adv_raw = gae(rewards, values, tr.gamma, tr.lam,
+                  dones=batch.get("dones"))
 
     m1 = _pmean(jnp.mean(adv_raw), axis_name)
     m2 = _pmean(jnp.mean(adv_raw ** 2), axis_name)
