@@ -31,8 +31,8 @@ def main():
     from trpo_robot_control_tpu.trpo.train import init_state, make_train_many
 
     base = CONFIGS["c2_reacher3"]
-    n_updates = 16
-    results = {}
+    n_lo, n_hi = 32, 512     # slope between two chain lengths cancels
+    results = {}             # the ~30-40 ms tunnel fetch jitter
     for tag, trpo_kw in [
         ("base(cg10,ls10)", {}),
         ("cg1", {"cg_iters": 1}),
@@ -41,16 +41,25 @@ def main():
     ]:
         cfg = base.replace(trpo=dataclasses.replace(base.trpo, **trpo_kw))
         state = init_state(cfg, seed=0)
-        many = make_train_many(cfg, n_updates, mesh=None)
-        state, stats = many(state)              # compile + warm
-        _fetch(stats["mean_return"])
+        many_lo = make_train_many(cfg, n_lo, mesh=None)
+        many_hi = make_train_many(cfg, n_hi, mesh=None)
+        def fresh():            # the train step donates its state args
+            return jax.tree.map(lambda x: x.copy(), state)
+
+        _, stats = many_lo(fresh()); _fetch(stats["mean_return"])  # compile
+        _, stats = many_hi(fresh()); _fetch(stats["mean_return"])
         best = float("inf")
         for _ in range(3):
+            s = fresh(); _fetch(s.params["logstd"])
             t0 = time.perf_counter()
-            state, stats = many(state)
-            _fetch(stats["mean_return"])
-            best = min(best, time.perf_counter() - t0)
-        results[tag] = 1e3 * best / n_updates
+            _, stats = many_lo(s); _fetch(stats["mean_return"])
+            t_lo = time.perf_counter() - t0
+            s = fresh(); _fetch(s.params["logstd"])
+            t0 = time.perf_counter()
+            _, stats = many_hi(s); _fetch(stats["mean_return"])
+            t_hi = time.perf_counter() - t0
+            best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+        results[tag] = 1e3 * best
         print(f"{tag:18s} {results[tag]:7.3f} ms/update", flush=True)
 
     cg9 = results["base(cg10,ls10)"] - results["cg1"]

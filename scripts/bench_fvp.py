@@ -54,7 +54,7 @@ def main():
             return v
         return jax.jit(f)
 
-    def timed(make, lo=8, hi=72, reps=3):
+    def timed(make, lo=200, hi=3200, reps=3):
         c_lo, c_hi = chain(make, lo), chain(make, hi)
         _fetch(c_lo(v0)); _fetch(c_hi(v0))          # compile + warm
         best = float("inf")

@@ -102,7 +102,7 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
         from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
         fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
                                  tr.cg_damping, axis_name=axis_name,
-                                 block_b=1024,
+                                 block_b=2048,
                                  interpret=jax.default_backend() == "cpu")
     else:
         make_fvp = make_gn_fvp if impl != "kl" else make_kl_fvp
