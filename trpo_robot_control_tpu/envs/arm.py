@@ -178,7 +178,17 @@ def make_rollout_fn(cfg: ExperimentConfig):
                 # XLA scan path rather than fail the kernel's tiling
                 # assertion (any n_envs must work, not just powers of two)
                 return rollout(cfg, params, _policy.sample, key, n_envs=n)
-            return pr(cfg, params, key, n_envs=n, block_b=bb)
+            # explicit "pallas"/"pallas3d" on a CPU backend (tests, fake
+            # meshes) runs the kernel in interpret mode; the on-chip PRNG
+            # has no CPU lowering, so supply host-sampled action noise
+            interp = _jax.default_backend() == "cpu"
+            eps = None
+            if interp:
+                k_eps, key = _jax.random.split(key)
+                eps = _jax.random.normal(
+                    k_eps, (cfg.horizon, n, cfg.arm.n_joints))
+            return pr(cfg, params, key, n_envs=n, block_b=bb,
+                      interpret=interp, eps=eps)
 
         return fn
     return lambda params, key, n_envs=None: rollout(
