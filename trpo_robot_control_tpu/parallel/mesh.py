@@ -50,11 +50,22 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
 
 def init_distributed():
     """Multi-host entry: call before any jax op on multi-host slices.
-    No-op when single-process (SURVEY.md section 5.4)."""
+    No-op when single-process (SURVEY.md section 5.4).
+
+    On TPU pods `jax.distributed.initialize()` autodetects everything;
+    elsewhere (and in the 2-process CPU test, tests/test_distributed.py)
+    the coordinator/process layout comes from JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES and JAX_PROCESS_ID."""
     import os
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or \
-            "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("COORDINATOR_ADDRESS")
+    if addr is None:
+        return
+    kw = {"coordinator_address": addr}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
 
 
 def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
