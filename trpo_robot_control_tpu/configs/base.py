@@ -122,6 +122,15 @@ class TRPOSpec:
     # subsample_factor). 1 = exact (parity configs); larger values trade
     # a little Fisher estimation noise for proportionally cheaper CG.
     fvp_subsample: int = 1
+    # Value baseline (SURVEY.md section 3: "linear time-feature fit or
+    # small MLP"): "linear" = ridge normal-equation fit on phi(s, t)
+    # (the oracle-parity choice); "mlp" = small tanh MLP on the same
+    # features, refit each update with baseline_epochs full-batch Adam
+    # steps (warm-started from the previous update's weights).
+    baseline: str = "linear"
+    baseline_hidden: Tuple[int, ...] = (64,)
+    baseline_lr: float = 1e-2
+    baseline_epochs: int = 10
 
 
 @dataclass(frozen=True)

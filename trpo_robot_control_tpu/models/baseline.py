@@ -63,3 +63,61 @@ def fit_normal(A, b, eps: float = 1e-20, rel_floor: float = 1e-6):
     # belt-and-braces: a non-finite fit degrades to a zero baseline for
     # one iteration instead of permanently poisoning the GAE targets
     return jnp.where(jnp.isfinite(w), w, 0.0)
+
+
+# ----------------------------------------------------------------- MLP
+# Optional small-MLP baseline (SURVEY.md section 3 "Value baseline:
+# linear time-feature fit or small MLP"). Same phi(s, t) features, tanh
+# MLP -> scalar value, refit each update with a fixed number of
+# full-batch Adam steps inside the jit (warm-started across updates;
+# fresh Adam moments per refit keep TrainState.w a plain param pytree).
+
+
+def init_mlp(key, n_in: int, hidden):
+    params = {}
+    dims = [n_in] + list(hidden) + [1]
+    for i, (m, n) in enumerate(zip(dims[:-1], dims[1:])):
+        key, k = jax.random.split(key)
+        params[f"W{i}"] = jax.random.normal(k, (m, n)) * jnp.sqrt(2.0 / m)
+        params[f"b{i}"] = jnp.zeros(n)
+    return params
+
+
+def predict_mlp(w, phi):
+    """phi (..., F) -> values (...)."""
+    L = sum(1 for k in w if k.startswith("W"))
+    h = phi
+    for i in range(L - 1):
+        h = jnp.tanh(h @ w[f"W{i}"] + w[f"b{i}"])
+    return (h @ w[f"W{L - 1}"] + w[f"b{L - 1}"])[..., 0]
+
+
+def fit_mlp(w, phi_flat, targets_flat, lr: float, steps: int,
+            axis_name=None):
+    """`steps` full-batch Adam steps on MSE (pmean-reduced gradients
+    under shard_map so every shard applies the identical update)."""
+    b1, b2, eps_a = 0.9, 0.999, 1e-8
+
+    def loss(p):
+        return jnp.mean((predict_mlp(p, phi_flat) - targets_flat) ** 2)
+
+    def body(carry, i):
+        p, m, v = carry
+        g = jax.grad(loss)(p)
+        if axis_name is not None:
+            g = jax.lax.pmean(g, axis_name)
+        m = jax.tree.map(lambda a, b: b1 * a + (1 - b1) * b, m, g)
+        v = jax.tree.map(lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+        t = i + 1.0
+        scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        p = jax.tree.map(
+            lambda pp, mm, vv: pp - lr * scale * mm
+            / (jnp.sqrt(vv) + eps_a), p, m, v)
+        return (p, m, v), ()
+
+    zeros = jax.tree.map(jnp.zeros_like, w)
+    (p, _, _), _ = jax.lax.scan(
+        body, (w, zeros, zeros), jnp.arange(steps, dtype=jnp.float32))
+    # same non-finite guard as the linear fit
+    return jax.tree.map(lambda new, old: jnp.where(jnp.isfinite(new),
+                                                   new, old), p, w)

@@ -29,7 +29,12 @@ def init_state(cfg: ExperimentConfig, seed: Optional[int] = None) -> TrainState:
     k_init, key = jax.random.split(key)
     params = policy.init_params(k_init, cfg.obs_dim, cfg.arm.n_joints,
                                 cfg.trpo.hidden, cfg.trpo.logstd_init)
-    w = jnp.zeros(baseline.n_features(cfg.obs_dim), jnp.float32)
+    if cfg.trpo.baseline == "mlp":
+        k_base, key = jax.random.split(key)
+        w = baseline.init_mlp(k_base, baseline.n_features(cfg.obs_dim),
+                              cfg.trpo.baseline_hidden)
+    else:
+        w = jnp.zeros(baseline.n_features(cfg.obs_dim), jnp.float32)
     return TrainState(params=params, w=w, key=key,
                       iteration=jnp.asarray(0, jnp.int32))
 

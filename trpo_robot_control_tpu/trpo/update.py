@@ -50,7 +50,9 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
 
     # ---- 1) values (old baseline) -> GAE -> whiten -> targets -> refit
     phi = baseline.features(obs, cfg.horizon)
-    values = baseline.predict(w, phi)
+    mlp_baseline = tr.baseline == "mlp"
+    values = baseline.predict_mlp(w, phi) if mlp_baseline \
+        else baseline.predict(w, phi)
     adv_raw = gae(rewards, values, tr.gamma, tr.lam,
                   dones=batch.get("dones"))
 
@@ -62,10 +64,15 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
 
     F = phi.shape[-1]
     phi_f = phi.reshape(B, F)
-    A = _psum(phi_f.T @ phi_f, axis_name) \
-        + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
-    b_vec = _psum(phi_f.T @ targets.reshape(B), axis_name)
-    w_new = baseline.fit_normal(A, b_vec)
+    if mlp_baseline:
+        w_new = baseline.fit_mlp(w, phi_f, targets.reshape(B),
+                                 tr.baseline_lr, tr.baseline_epochs,
+                                 axis_name=axis_name)
+    else:
+        A = _psum(phi_f.T @ phi_f, axis_name) \
+            + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
+        b_vec = _psum(phi_f.T @ targets.reshape(B), axis_name)
+        w_new = baseline.fit_normal(A, b_vec)
 
     # ---- 2) flatten the batch
     obs_f = obs.reshape(B, do)

@@ -22,7 +22,11 @@ def save_checkpoint(ckpt_dir: str, cfg, state) -> str:
     it = int(state.iteration)
     path = os.path.join(ckpt_dir, f"ckpt_{it:06d}.npz")
     arrays = {f"params.{k}": np.asarray(v) for k, v in state.params.items()}
-    arrays["w"] = np.asarray(state.w)
+    if isinstance(state.w, dict):        # MLP baseline: a param pytree
+        arrays.update({f"w.{k}": np.asarray(v)
+                       for k, v in state.w.items()})
+    else:
+        arrays["w"] = np.asarray(state.w)
     arrays["key"] = np.asarray(state.key)
     arrays["iteration"] = np.asarray(state.iteration)
     np.savez(path, __config_hash__=config_hash(cfg), **arrays)
@@ -40,8 +44,12 @@ def load_checkpoint(path: str, cfg=None):
                 f"{config_hash(cfg)} — refusing silent mismatch")
     params = {k[len("params."):]: jax.numpy.asarray(data[k])
               for k in data.files if k.startswith("params.")}
-    return TrainState(params=params,
-                      w=jax.numpy.asarray(data["w"]),
+    if "w" in data.files:
+        w = jax.numpy.asarray(data["w"])
+    else:                                # MLP baseline pytree
+        w = {k[len("w."):]: jax.numpy.asarray(data[k])
+             for k in data.files if k.startswith("w.")}
+    return TrainState(params=params, w=w,
                       key=jax.numpy.asarray(data["key"]),
                       iteration=jax.numpy.asarray(data["iteration"]))
 
