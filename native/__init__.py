@@ -48,6 +48,17 @@ class NativeConfig(ctypes.Structure):
         ("qd0_noise", ctypes.c_double),
         ("rmin", ctypes.c_double),
         ("rmax", ctypes.c_double),
+        # 3-D arm description (planar == 0 path)
+        ("planar", ctypes.c_int32),
+        ("gravity", ctypes.c_double),
+        ("jrot", ctypes.c_double * 72),
+        ("jpos", ctypes.c_double * 24),
+        ("com3", ctypes.c_double * 24),
+        ("idiag", ctypes.c_double * 24),
+        ("ee_off", ctypes.c_double * 3),
+        ("obst_weight", ctypes.c_double),
+        ("obst_radius", ctypes.c_double),
+        ("obst_center", ctypes.c_double * 3),
     ]
 
 
@@ -82,31 +93,62 @@ def lib():
         _lib.trpo_cpu_update.argtypes = [
             ctypes.POINTER(NativeConfig), dp, dp, dp, dp, dp, dp]
         _lib.trpo_cpu_update.restype = ctypes.c_int
+        _lib.trpo_cpu_step.argtypes = [
+            ctypes.POINTER(NativeConfig), dp, dp, dp, dp]
+        _lib.trpo_cpu_step.restype = ctypes.c_int
         _lib.trpo_cpu_param_size.argtypes = [ctypes.POINTER(NativeConfig)]
         _lib.trpo_cpu_param_size.restype = ctypes.c_size_t
     return _lib
 
 
 def make_config(cfg) -> NativeConfig:
-    """Build a NativeConfig from an ExperimentConfig (planar arms)."""
+    """Build a NativeConfig from an ExperimentConfig.
+
+    Planar zero-gravity arms take the closed-form planar path; any other
+    fixed-base serial arm (e.g. the 7-DoF c3/c4 Franka-like, with
+    gravity and the obstacle penalty) takes the general world-frame RNEA
+    path mirroring oracle/dynamics.py. Multi-task (n_tasks > 1) is
+    descoped in the native backend — the track/push goal families exist
+    for the TPU engine (envs/arm.py); the native rollout covers the
+    reach family that the oracle validates.
+    """
     from trpo_robot_control_tpu.envs.rigid_body import ArmConstants
+    from oracle.dynamics import ArmModel
     spec = cfg.arm
     c = ArmConstants(spec)
-    assert c.planar and cfg.n_tasks == 1 and abs(spec.gravity) < 1e-12, \
-        "native backend covers planar single-task arms"
+    assert cfg.n_tasks == 1, \
+        "native backend covers the reach task (multi-task descoped)"
     assert cfg.done_dist == 0.0, \
         "native backend runs fixed-horizon episodes"
     n = spec.n_joints
     assert n <= 8
     hidden = cfg.trpo.hidden
     assert len(hidden) == 2, "native net is fixed at 2 hidden layers"
+    planar = c.planar and abs(spec.gravity) < 1e-12
     nc = NativeConfig()
     nc.n = n
-    ls = [float(spec.joints[i + 1].pos[0]) for i in range(n - 1)] \
-        + [float(spec.ee_offset[0])]
+    nc.planar = 1 if planar else 0
+    nc.gravity = float(spec.gravity)
+    model = ArmModel(spec)
     for i in range(n):
-        nc.l[i] = ls[i]
-        nc.lc[i] = float(spec.links[i].com[0])
+        for k in range(9):
+            nc.jrot[i * 9 + k] = float(model.T_rot[i].ravel()[k])
+        for k in range(3):
+            nc.jpos[i * 3 + k] = float(model.T_pos[i][k])
+            nc.com3[i * 3 + k] = float(model.com[i][k])
+            nc.idiag[i * 3 + k] = float(spec.links[i].inertia_diag[k])
+    for k in range(3):
+        nc.ee_off[k] = float(spec.ee_offset[k])
+        nc.obst_center[k] = float(cfg.cost.obstacle_center[k])
+    nc.obst_weight = float(cfg.cost.obstacle_weight)
+    nc.obst_radius = float(cfg.cost.obstacle_radius)
+    if planar:
+        ls = [float(spec.joints[i + 1].pos[0]) for i in range(n - 1)] \
+            + [float(spec.ee_offset[0])]
+        for i in range(n):
+            nc.l[i] = ls[i]
+            nc.lc[i] = float(spec.links[i].com[0])
+    for i in range(n):
         nc.m[i] = float(spec.links[i].mass)
         nc.iz[i] = float(spec.links[i].inertia_diag[2])
     nc.damping = spec.joint_damping
@@ -144,6 +186,19 @@ def rollout(cfg, params_flat: np.ndarray, seed: int):
                                seed, obs, act, rew)
     assert r == 0
     return dict(obs=obs, actions=act, rewards=rew)
+
+
+def step(cfg, q: np.ndarray, qd: np.ndarray, tau: np.ndarray):
+    """One dynamics step (single env): returns (q2, qd2, ee). Pins the
+    native integrator against oracle/dynamics.py in tests."""
+    nc = make_config(cfg)
+    q = np.ascontiguousarray(q, np.float64).copy()
+    qd = np.ascontiguousarray(qd, np.float64).copy()
+    ee = np.zeros(3)
+    r = lib().trpo_cpu_step(ctypes.byref(nc), q, qd,
+                            np.ascontiguousarray(tau, np.float64), ee)
+    assert r == 0
+    return q, qd, ee
 
 
 def update(cfg, params_flat: np.ndarray, w: np.ndarray, batch):

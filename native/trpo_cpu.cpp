@@ -58,6 +58,21 @@ struct Config {
   double qd0_noise;
   double rmin;               // target radius min (absolute)
   double rmax;
+  // ---- 3-D arm description (used when planar == 0; mirrors
+  // oracle/dynamics.py:ArmModel — world-frame RNEA with a rot-z joint
+  // after each fixed rpy rotation)
+  int32_t planar;
+  double gravity;            // along world -z (base-accel trick)
+  double jrot[72];           // 8 x (3x3 row-major) fixed rotations
+  double jpos[24];           // 8 x 3 joint origin offsets (parent frame)
+  double com3[24];           // 8 x 3 link COM (link frame)
+  double idiag[24];          // 8 x 3 link inertia diagonal (link frame)
+  double ee_off[3];          // EE offset in last link frame
+  // obstacle penalty (inactive when weight == 0); matches
+  // trpo_robot_control_tpu/envs/arm.py:obstacle_penalty
+  double obst_weight;
+  double obst_radius;
+  double obst_center[3];
 };
 
 struct ParamView {
@@ -170,6 +185,205 @@ void chol_solve(int n, double* A /*n*n, destroyed*/, double* b /*n, io*/) {
     for (int k = i + 1; k < n; ++k) s -= A[k * n + i] * b[k];
     b[i] = s / A[i * n + i];
   }
+}
+
+// ------------------------------------------------------- 3-D dynamics
+// General fixed-base serial arm, world-frame RNEA — the same recursion
+// as oracle/dynamics.py:ArmModel (fk / rnea / mass-by-columns / bias),
+// fp64, loop-based, n <= 8.
+inline void v_cross(const double* a, const double* b, double* o) {
+  o[0] = a[1] * b[2] - a[2] * b[1];
+  o[1] = a[2] * b[0] - a[0] * b[2];
+  o[2] = a[0] * b[1] - a[1] * b[0];
+}
+
+inline void m33_vec(const double* R, const double* v, double* o) {
+  for (int r = 0; r < 3; ++r)
+    o[r] = R[r * 3] * v[0] + R[r * 3 + 1] * v[1] + R[r * 3 + 2] * v[2];
+}
+
+inline void m33_tvec(const double* R, const double* v, double* o) {
+  for (int r = 0; r < 3; ++r)
+    o[r] = R[r] * v[0] + R[3 + r] * v[1] + R[6 + r] * v[2];
+}
+
+inline void m33_mul(const double* A, const double* B, double* o) {
+  for (int r = 0; r < 3; ++r)
+    for (int cc = 0; cc < 3; ++cc)
+      o[r * 3 + cc] = A[r * 3] * B[cc] + A[r * 3 + 1] * B[3 + cc] +
+                      A[r * 3 + 2] * B[6 + cc];
+}
+
+// R_i = R_parent @ T_rot_i @ rot_z(q_i); p_i = p_parent + R_parent @ pos_i
+void fk3(const Config& c, const double* q, double* R /*n*9*/,
+         double* p /*n*3*/, double* ee /*3*/) {
+  int n = c.n;
+  double R_par[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  double p_par[3] = {0, 0, 0};
+  double tmp[9], rz[9];
+  for (int i = 0; i < n; ++i) {
+    m33_vec(R_par, &c.jpos[i * 3], &p[i * 3]);
+    for (int k = 0; k < 3; ++k) p[i * 3 + k] += p_par[k];
+    double cq = std::cos(q[i]), sq = std::sin(q[i]);
+    rz[0] = cq; rz[1] = -sq; rz[2] = 0;
+    rz[3] = sq; rz[4] = cq;  rz[5] = 0;
+    rz[6] = 0;  rz[7] = 0;   rz[8] = 1;
+    m33_mul(R_par, &c.jrot[i * 9], tmp);
+    m33_mul(tmp, rz, &R[i * 9]);
+    std::memcpy(R_par, &R[i * 9], 9 * sizeof(double));
+    std::memcpy(p_par, &p[i * 3], 3 * sizeof(double));
+  }
+  m33_vec(&R[(n - 1) * 9], c.ee_off, ee);
+  for (int k = 0; k < 3; ++k) ee[k] += p[(n - 1) * 3 + k];
+}
+
+// tau = ID(q, qd, qdd) at given gravity; joint damping NOT included.
+void rnea3(const Config& c, const double* q, const double* qd,
+           const double* qdd, double gravity, const double* R,
+           const double* p, double* tau) {
+  int n = c.n;
+  double axis[8][3], w[8][3], wd[8][3], a[8][3], cw[8][3], ac[8][3];
+  double w_par[3] = {0, 0, 0}, wd_par[3] = {0, 0, 0};
+  double a_par[3] = {0, 0, gravity};
+  double R_par[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  double t1[3], t2[3], zhat[3] = {0, 0, 1};
+  for (int i = 0; i < n; ++i) {
+    double rot[9];
+    m33_mul(R_par, &c.jrot[i * 9], rot);
+    double s[3];
+    m33_vec(rot, zhat, s);
+    std::memcpy(axis[i], s, sizeof(s));
+    double r[3];
+    m33_vec(R_par, &c.jpos[i * 3], r);
+    v_cross(wd_par, r, t1);
+    v_cross(w_par, r, t2);
+    double t3[3];
+    v_cross(w_par, t2, t3);
+    for (int k = 0; k < 3; ++k) a[i][k] = a_par[k] + t1[k] + t3[k];
+    for (int k = 0; k < 3; ++k) w[i][k] = w_par[k] + s[k] * qd[i];
+    double sv[3] = {s[0] * qd[i], s[1] * qd[i], s[2] * qd[i]};
+    v_cross(w_par, sv, t1);
+    for (int k = 0; k < 3; ++k)
+      wd[i][k] = wd_par[k] + s[k] * qdd[i] + t1[k];
+    double d[3];
+    m33_vec(&R[i * 9], &c.com3[i * 3], d);
+    for (int k = 0; k < 3; ++k) cw[i][k] = p[i * 3 + k] + d[k];
+    v_cross(wd[i], d, t1);
+    v_cross(w[i], d, t2);
+    double t4[3];
+    v_cross(w[i], t2, t4);
+    for (int k = 0; k < 3; ++k) ac[i][k] = a[i][k] + t1[k] + t4[k];
+    std::memcpy(w_par, w[i], sizeof(w_par));
+    std::memcpy(wd_par, wd[i], sizeof(wd_par));
+    std::memcpy(a_par, a[i], sizeof(a_par));
+    std::memcpy(R_par, &R[i * 9], 9 * sizeof(double));
+  }
+  double f_child[3] = {0, 0, 0}, n_child[3] = {0, 0, 0},
+         p_child[3] = {0, 0, 0};
+  for (int i = n - 1; i >= 0; --i) {
+    // Iw = R diag(I) R^T (link inertia is diagonal in the link frame)
+    double RtW[3], Iwwd[3], Iww[3];
+    // Iw @ v computed as R @ (diag * (R^T @ v))
+    m33_tvec(&R[i * 9], wd[i], RtW);
+    for (int k = 0; k < 3; ++k) RtW[k] *= c.idiag[i * 3 + k];
+    m33_vec(&R[i * 9], RtW, Iwwd);
+    m33_tvec(&R[i * 9], w[i], RtW);
+    for (int k = 0; k < 3; ++k) RtW[k] *= c.idiag[i * 3 + k];
+    m33_vec(&R[i * 9], RtW, Iww);
+    double F[3], Nn[3], wxIww[3];
+    for (int k = 0; k < 3; ++k) F[k] = c.m[i] * ac[i][k];
+    v_cross(w[i], Iww, wxIww);
+    for (int k = 0; k < 3; ++k) Nn[k] = Iwwd[k] + wxIww[k];
+    double f[3];
+    for (int k = 0; k < 3; ++k) f[k] = F[k] + f_child[k];
+    double rc[3], rpc[3], t1b[3], t2b[3];
+    for (int k = 0; k < 3; ++k) {
+      rc[k] = cw[i][k] - p[i * 3 + k];
+      rpc[k] = p_child[k] - p[i * 3 + k];
+    }
+    v_cross(rc, F, t1b);
+    v_cross(rpc, f_child, t2b);
+    double nn[3];
+    for (int k = 0; k < 3; ++k)
+      nn[k] = Nn[k] + n_child[k] + t1b[k] + t2b[k];
+    tau[i] = axis[i][0] * nn[0] + axis[i][1] * nn[1] + axis[i][2] * nn[2];
+    std::memcpy(f_child, f, sizeof(f));
+    std::memcpy(n_child, nn, sizeof(nn));
+    std::memcpy(p_child, &p[i * 3], 3 * sizeof(double));
+  }
+}
+
+// Gaussian elimination with partial pivoting (matches np.linalg.solve's
+// LAPACK LU to fp64 rounding for these small well-conditioned systems;
+// the oracle's forward dynamics adds NO diagonal jitter, so neither
+// does this path).
+void lin_solve(int n, double* A /*n*n, destroyed*/, double* b) {
+  for (int k = 0; k < n; ++k) {
+    int piv = k;
+    for (int i = k + 1; i < n; ++i)
+      if (std::abs(A[i * n + k]) > std::abs(A[piv * n + k])) piv = i;
+    if (piv != k) {
+      for (int j = 0; j < n; ++j) std::swap(A[k * n + j], A[piv * n + j]);
+      std::swap(b[k], b[piv]);
+    }
+    for (int i = k + 1; i < n; ++i) {
+      double f = A[i * n + k] / A[k * n + k];
+      for (int j = k + 1; j < n; ++j) A[i * n + j] -= f * A[k * n + j];
+      b[i] -= f * b[k];
+    }
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = b[i];
+    for (int j = i + 1; j < n; ++j) s -= A[i * n + j] * b[j];
+    b[i] = s / A[i * n + i];
+  }
+}
+
+void dynamics_step3(const Config& c, double* q, double* qd,
+                    const double* tau) {
+  int n = c.n;
+  double R[72], p[24], ee[3], M[64], col[8], rhs[8];
+  double zero[8] = {0}, e[8];
+  double h = c.dt / c.n_substeps;
+  for (int s = 0; s < c.n_substeps; ++s) {
+    fk3(c, q, R, p, ee);
+    for (int j = 0; j < n; ++j) {
+      std::memset(e, 0, sizeof(e));
+      e[j] = 1.0;
+      rnea3(c, q, zero, e, 0.0, R, p, col);
+      for (int i = 0; i < n; ++i) M[i * n + j] = col[i];
+    }
+    for (int i = 0; i < n; ++i)
+      for (int j = i + 1; j < n; ++j) {
+        double v = 0.5 * (M[i * n + j] + M[j * n + i]);
+        M[i * n + j] = v;
+        M[j * n + i] = v;
+      }
+    rnea3(c, q, qd, zero, c.gravity, R, p, rhs);
+    for (int i = 0; i < n; ++i)
+      rhs[i] = tau[i] - rhs[i] - c.damping * qd[i];
+    lin_solve(n, M, rhs);
+    for (int i = 0; i < n; ++i) {
+      qd[i] += h * rhs[i];
+      if (qd[i] > c.qd_limit) qd[i] = c.qd_limit;
+      if (qd[i] < -c.qd_limit) qd[i] = -c.qd_limit;
+      q[i] += h * qd[i];
+    }
+  }
+}
+
+// smooth sphere penalty over joint origins [1:] + EE (envs/arm.py)
+double obstacle_pen(const Config& c, const double* p, const double* ee) {
+  double pen = 0.0;
+  for (int i = 1; i <= c.n; ++i) {
+    const double* pt = (i == c.n) ? ee : &p[i * 3];
+    double dx = pt[0] - c.obst_center[0], dy = pt[1] - c.obst_center[1],
+           dz = pt[2] - c.obst_center[2];
+    double d = std::sqrt(dx * dx + dy * dy + dz * dz);
+    double gap = c.obst_radius - d;
+    if (gap > 0.0) pen += gap * gap;
+  }
+  return pen;
 }
 
 void dynamics_step(const Config& c, double* q, double* qd,
@@ -307,35 +521,53 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
   std::normal_distribution<double> norm(0.0, 1.0);
 
   int n = c.n, N = c.n_envs, T = c.horizon;
-  std::vector<double> q((size_t)N * n), qd((size_t)N * n), tgt((size_t)N * 2);
+  std::vector<double> q((size_t)N * n), qd((size_t)N * n), tgt((size_t)N * 3);
   for (int e = 0; e < N; ++e) {
     for (int i = 0; i < n; ++i) {
       q[e * n + i] = c.q0_noise * unif(rng);
       qd[e * n + i] = c.qd0_noise * unif(rng);
     }
     double r = c.rmin + (c.rmax - c.rmin) * unif01(rng);
-    double th = 2.0 * M_PI * unif01(rng);
-    tgt[e * 2 + 0] = r * std::cos(th);
-    tgt[e * 2 + 1] = r * std::sin(th);
+    if (c.planar) {
+      double th = 2.0 * M_PI * unif01(rng);
+      tgt[e * 3 + 0] = r * std::cos(th);
+      tgt[e * 3 + 1] = r * std::sin(th);
+      tgt[e * 3 + 2] = 0.0;
+    } else {
+      // uniform direction on the upper hemisphere (|z|), as the oracle
+      double u[3] = {norm(rng), norm(rng), norm(rng)};
+      double nu = std::sqrt(u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
+                  + 1e-12;
+      tgt[e * 3 + 0] = r * u[0] / nu;
+      tgt[e * 3 + 1] = r * u[1] / nu;
+      tgt[e * 3 + 2] = r * std::abs(u[2]) / nu;
+    }
   }
 
   std::vector<double> h0((size_t)c.h1), h1v((size_t)c.h2), mu(c.act_dim);
   std::vector<double> obs_row(c.obs_dim), tau(n);
   double px[8], py[8], cx[8], cy[8], eex, eey;
+  double R3[72], p3[24], ee3[3];
 
   for (int t = 0; t < T; ++t) {
     for (int e = 0; e < N; ++e) {
       double* qe = &q[(size_t)e * n];
       double* qde = &qd[(size_t)e * n];
-      fk(c, qe, px, py, cx, cy, eex, eey);
+      double ee[3];
+      if (c.planar) {
+        fk(c, qe, px, py, cx, cy, eex, eey);
+        ee[0] = eex; ee[1] = eey; ee[2] = 0.0;
+      } else {
+        fk3(c, qe, R3, p3, ee3);
+        std::memcpy(ee, ee3, sizeof(ee));
+      }
       for (int i = 0; i < n; ++i) {
         obs_row[i] = std::cos(qe[i]);
         obs_row[n + i] = std::sin(qe[i]);
         obs_row[2 * n + i] = c.qd_obs_scale * qde[i];
       }
-      obs_row[3 * n + 0] = tgt[e * 2 + 0] - eex;
-      obs_row[3 * n + 1] = tgt[e * 2 + 1] - eey;
-      obs_row[3 * n + 2] = 0.0;
+      for (int k = 0; k < 3; ++k)
+        obs_row[3 * n + k] = tgt[e * 3 + k] - ee[k];
       mlp_forward(c, p, obs_row.data(), 1, h0.data(), h1v.data(),
                   mu.data());
       for (int i = 0; i < n; ++i) {
@@ -346,14 +578,46 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
       }
       std::memcpy(&obs_out[((size_t)e * T + t) * c.obs_dim],
                   obs_row.data(), c.obs_dim * sizeof(double));
-      dynamics_step(c, qe, qde, tau.data());
-      fk(c, qe, px, py, cx, cy, eex, eey);
-      double dx = eex - tgt[e * 2], dy = eey - tgt[e * 2 + 1];
+      double pen = 0.0;
+      if (c.planar) {
+        dynamics_step(c, qe, qde, tau.data());
+        fk(c, qe, px, py, cx, cy, eex, eey);
+        ee[0] = eex; ee[1] = eey; ee[2] = 0.0;
+      } else {
+        dynamics_step3(c, qe, qde, tau.data());
+        fk3(c, qe, R3, p3, ee3);
+        std::memcpy(ee, ee3, sizeof(ee));
+        if (c.obst_weight > 0.0) pen = obstacle_pen(c, p3, ee3);
+      }
+      double d2 = 0.0;
+      for (int k = 0; k < 3; ++k) {
+        double d = ee[k] - tgt[e * 3 + k];
+        d2 += d * d;
+      }
       double ctrl = 0.0;
       for (int i = 0; i < n; ++i) ctrl += tau[i] * tau[i];
-      rew_out[(size_t)e * T + t] = -(dx * dx + dy * dy +
-                                     c.ctrl_weight * ctrl);
+      rew_out[(size_t)e * T + t] =
+          -(d2 + c.ctrl_weight * ctrl + c.obst_weight * pen);
     }
+  }
+  return 0;
+}
+
+// Single dynamics step + post-step EE position, exposed so tests can
+// pin the native integrator against oracle/dynamics.py:ArmModel.step
+// at fp64 tolerance. q/qd updated in place.
+int trpo_cpu_step(const Config* cp, double* q, double* qd,
+                  const double* tau, double* ee_out) {
+  const Config& c = *cp;
+  if (c.planar) {
+    double px[8], py[8], cx[8], cy[8], eex, eey;
+    dynamics_step(c, q, qd, tau);
+    fk(c, q, px, py, cx, cy, eex, eey);
+    ee_out[0] = eex; ee_out[1] = eey; ee_out[2] = 0.0;
+  } else {
+    double R[72], p[24];
+    dynamics_step3(c, q, qd, tau);
+    fk3(c, q, R, p, ee_out);
   }
   return 0;
 }
