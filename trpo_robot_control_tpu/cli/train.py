@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--jsonl", default=None, help="metrics JSONL path")
     ap.add_argument("--sharded", action="store_true",
                     help="force the mesh/shard_map path even on 1 device")
+    ap.add_argument("--n-model", type=int, default=1,
+                    help="tensor-parallel 'model' axis size (policy "
+                         "hidden dim sharded; parallel/tensor.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,8 +61,8 @@ def main(argv=None):
     state = load_checkpoint(args.resume, cfg) if args.resume else None
 
     n_dev = len(jax.devices())
-    if args.sharded or n_dev > 1:
-        mesh = make_mesh()
+    if args.sharded or n_dev > 1 or args.n_model > 1:
+        mesh = make_mesh(n_model=args.n_model)
         print(f"mesh: {dict(mesh.shape)} on {n_dev} x "
               f"{jax.devices()[0].device_kind}", file=sys.stderr)
         state, history = train_sharded(cfg, mesh, n_iters=args.iters,

@@ -77,31 +77,57 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
     shape — SURVEY.md section 9 hard-part 5).
     """
     n_data = mesh.shape[DATA_AXIS]
-    if mesh.shape.get(MODEL_AXIS, 1) != 1:
-        raise NotImplementedError(
-            "the 'model' axis is reserved for tensor parallelism of "
-            "larger policies; the 2-layer-MLP update replicates "
-            "parameters — build the mesh with n_model=1")
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
     if cfg.n_envs % n_data:
         raise ValueError(f"n_envs={cfg.n_envs} not divisible by "
                          f"data-axis size {n_data}")
     local_envs = cfg.n_envs // n_data
     replicated = P()
-    rollout_fn = arm.make_rollout_fn(cfg)
 
-    def local_step(state: TrainState):
-        idx = jax.lax.axis_index(DATA_AXIS)
-        key, k_roll = jax.random.split(state.key)
-        k_local = jax.random.fold_in(k_roll, idx)
-        batch = rollout_fn(state.params, k_local, n_envs=local_envs)
-        params, w, stats = trpo_update(cfg, state.params, state.w, batch,
-                                       axis_name=DATA_AXIS)
-        new_state = TrainState(params=params, w=w, key=key,
-                               iteration=state.iteration + 1)
-        return new_state, stats
+    if n_model > 1:
+        # tensor parallelism (parallel/tensor.py): policy hidden dim
+        # sharded over 'model', composed with DP over 'data'. The TP
+        # forward rides the XLA rollout path (the fused kernels assume
+        # full replicated weights).
+        from . import tensor
+        from .tensor import (shard_policy_params, trpo_update_tp,
+                             unshard_policy_params)
+        sample_tp = tensor.make_sample_tp(MODEL_AXIS)
 
+        def local_step(state: TrainState):
+            idx_d = jax.lax.axis_index(DATA_AXIS)
+            idx_m = jax.lax.axis_index(MODEL_AXIS)
+            local = shard_policy_params(state.params, n_model, idx_m)
+            key, k_roll = jax.random.split(state.key)
+            k_local = jax.random.fold_in(k_roll, idx_d)
+            batch = arm.rollout(cfg, local, sample_tp, k_local,
+                                n_envs=local_envs)
+            new_local, w, stats = trpo_update_tp(
+                cfg, local, state.w, batch, DATA_AXIS, MODEL_AXIS)
+            params = unshard_policy_params(new_local, n_model, idx_m,
+                                           MODEL_AXIS)
+            new_state = TrainState(params=params, w=w, key=key,
+                                   iteration=state.iteration + 1)
+            return new_state, stats
+    else:
+        rollout_fn = arm.make_rollout_fn(cfg)
+
+        def local_step(state: TrainState):
+            idx = jax.lax.axis_index(DATA_AXIS)
+            key, k_roll = jax.random.split(state.key)
+            k_local = jax.random.fold_in(k_roll, idx)
+            batch = rollout_fn(state.params, k_local, n_envs=local_envs)
+            params, w, stats = trpo_update(cfg, state.params, state.w,
+                                           batch, axis_name=DATA_AXIS)
+            new_state = TrainState(params=params, w=w, key=key,
+                                   iteration=state.iteration + 1)
+            return new_state, stats
+
+    # check_vma=True is REQUIRED when TP is active: without replication
+    # tracking the TP forward's psum transposes to another psum and the
+    # sharded-leaf gradients come out n_model x too large (tensor.py)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=replicated,
-                            out_specs=replicated, check_vma=False)
+                            out_specs=replicated, check_vma=n_model > 1)
     kw = dict(donate_argnums=0) if donate else {}
     return jax.jit(sharded, **kw)
 
@@ -122,6 +148,35 @@ def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,
         in_specs=(P(), P(), batch_spec),
         out_specs=(P(), P(), P()),
         check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_update_tp(cfg: ExperimentConfig, mesh: Mesh,
+                           batch_keys=("obs", "actions", "rewards")):
+    """Tensor+data-parallel update on a PRE-COLLECTED batch: envs axis
+    sharded over 'data', policy hidden dim sharded over 'model'
+    (parallel/tensor.py). Takes/returns FULL replicated params."""
+    from .tensor import (shard_policy_params, trpo_update_tp,
+                         unshard_policy_params)
+    n_model = mesh.shape[MODEL_AXIS]
+    batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
+
+    def local_update(params, w, batch):
+        idx_m = jax.lax.axis_index(MODEL_AXIS)
+        local = shard_policy_params(params, n_model, idx_m)
+        new_local, w_new, stats = trpo_update_tp(
+            cfg, local, w, batch, DATA_AXIS, MODEL_AXIS)
+        full = unshard_policy_params(new_local, n_model, idx_m, MODEL_AXIS)
+        return full, w_new, stats
+
+    # check_vma=True is REQUIRED on TP paths: without replication
+    # tracking the forward psum transposes to another psum and sharded
+    # -leaf gradients come out n_model x too large (see tensor.py)
+    sharded = jax.shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(), batch_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=True)
     return jax.jit(sharded)
 
 
