@@ -9,21 +9,24 @@ arm, 1024 envs, horizon 100, 10 CG iterations) — one full TRPO iteration
 (rollout + GAE + baseline refit + CG natural gradient + KL line search)
 entirely on-device per update.
 
-Timing method: K updates are chained on-device with `lax.scan` (one
-dispatch, one result fetch) because on this tunnelled TPU runtime
-`block_until_ready` returns at enqueue-ack, not completion — only a host
-fetch of the result forces truth. The measured one-off fetch round-trip
-(~40 ms here) is subtracted.
+Timing method: on this tunnelled TPU runtime `block_until_ready` returns
+at enqueue-ack, not completion — only a host fetch of the result forces
+truth, and one fetch round-trip costs ~30-40 ms with multi-ms jitter. So
+every number here is a SLOPE between two on-device `lax.scan` chain
+lengths (one dispatch + one fetch each); the fetch cost and its jitter
+cancel in the difference, and the reported variance band is the spread
+of that slope across repetitions.
 
-`vs_baseline`: speedup over the reference TRPO implementation's per-update
-latency at the same config. The reference mount was empty (SURVEY.md
-section 0), so the stand-in is this repo's fp64 NumPy oracle — the
-"pure-NumPy/CPU reference TRPO update" of BASELINE.json config 1 — measured
-on this machine: 615.5 s/update at config 2 (rollout 543.9 s + update
-71.6 s; reproduce with `python bench.py --measure-oracle`).
+`--all` benches every config c1-c5 and writes one JSON block per config
+into bench_details.json (BASELINE.md asks for per-config numbers); the
+default benches the headline config only.
 
-Details (rollout steps/s/chip, per-update latency, compile time) go to
-bench_details.json next to this file.
+`vs_baseline`: speedup over the reference TRPO implementation's
+per-update latency at the same config. The reference mount was empty
+(SURVEY.md section 0), so the stand-in is this repo's fp64 NumPy oracle —
+the "pure-NumPy/CPU reference TRPO update" of BASELINE.json config 1 —
+measured on this machine: 615.5 s/update at config 2 (rollout 543.9 s +
+update 71.6 s; reproduce with `python bench.py --measure-oracle`).
 """
 import argparse
 import json
@@ -65,65 +68,48 @@ def _fetch(x):
     return float(np.asarray(x).ravel()[-1])
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="c2_reacher3")
-    ap.add_argument("--updates", type=int, default=16,
-                    help="updates per timed block (device-chained)")
-    ap.add_argument("--blocks", type=int, default=3)
-    ap.add_argument("--measure-oracle", action="store_true")
-    args = ap.parse_args()
-
-    if args.measure_oracle:
-        measure_oracle()
-        return
-
+def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3):
+    """Slope-timed updates/s + rollout steps/s for one config."""
     import jax
 
-    from trpo_robot_control_tpu.configs import CONFIGS
     from trpo_robot_control_tpu.envs import arm
-    from trpo_robot_control_tpu.models import policy
-    from trpo_robot_control_tpu.parallel.mesh import make_mesh
     from trpo_robot_control_tpu.trpo.train import (init_state,
                                                    make_train_many)
 
-    cfg = CONFIGS[args.config]
-    n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
+    if n_lo is None:
+        # big configs: a 144-update scan of a 13M-sample update is a
+        # large enough program to crash the tunnelled TPU worker, and
+        # their multi-100ms updates don't need long chains to clear the
+        # fetch jitter anyway
+        big = cfg.n_envs * cfg.horizon >= 2_000_000
+        n_lo, n_hi = (8, 40) if big else (16, 144)
+
     state = init_state(cfg, seed=0)
-    many = make_train_many(cfg, args.updates, mesh=mesh)
+    many_lo = make_train_many(cfg, n_lo, mesh=mesh)
+    many_hi = make_train_many(cfg, n_hi, mesh=mesh)
 
-    # --- measure host fetch round-trip floor (single compiled fn, chained)
-    inc = jax.jit(lambda x: x + 1.0)
-    z = inc(jax.numpy.float32(0.0))
-    _fetch(z)                      # compile + first round trip
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        z = inc(z)
-        _fetch(z)
-    fetch_s = (time.perf_counter() - t0) / reps
-
-    # --- warmup / compile
-    t0 = time.perf_counter()
-    state, stats = many(state)
+    state, stats = many_lo(state)           # train steps donate state;
+    _fetch(stats["mean_return"])            # chain it through every call
+    state, stats = many_hi(state)
     _fetch(stats["mean_return"])
     compile_s = time.perf_counter() - t0
 
-    # --- timed blocks
-    best = float("inf")
+    slopes = []
     last_return = None
-    for _ in range(args.blocks):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        state, stats = many(state)
+        state, stats = many_lo(state)
+        _fetch(stats["mean_return"])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, stats = many_hi(state)
         last_return = _fetch(stats["mean_return"])
-        elapsed = time.perf_counter() - t0 - fetch_s
-        best = min(best, elapsed / args.updates)
-    updates_per_s = 1.0 / best
-    per_update_ms = 1e3 * best
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    s_best, s_worst = min(slopes), max(slopes)
 
-    # --- rollout-only steps/s/chip: slope between chain lengths removes
-    # both the fetch round-trip and any constant dispatch cost
+    # --- rollout-only steps/s/chip, same slope method
     rollout_fn = arm.make_rollout_fn(cfg)
 
     def roll_chain(n):
@@ -143,33 +129,104 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # long chains: fused rollouts are sub-ms, so the slope must be far
-    # above the ~ms fetch jitter
     k_lo, k_hi = 8, 104
     roll_s = max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-6)
     env_steps = cfg.n_envs * cfg.horizon
-    steps_per_s_chip = env_steps / roll_s / max(n_dev, 1)
 
-    vs_baseline = updates_per_s * ORACLE_C2_SECONDS_PER_UPDATE \
-        if args.config == "c2_reacher3" else None
-
-    details = dict(
-        config=cfg.name, n_devices=n_dev,
-        device_kind=jax.devices()[0].device_kind,
-        updates_per_s=updates_per_s, per_update_ms=per_update_ms,
-        rollout_steps_per_s_per_chip=steps_per_s_chip,
-        env_steps_per_update=env_steps, compile_s=compile_s,
-        fetch_roundtrip_ms=1e3 * fetch_s,
-        oracle_seconds_per_update=ORACLE_C2_SECONDS_PER_UPDATE,
+    return dict(
+        updates_per_s=1.0 / s_best,
+        updates_per_s_band=[1.0 / s_worst, 1.0 / s_best],
+        per_update_ms=1e3 * s_best,
+        rollout_steps_per_s_per_chip=env_steps / roll_s / max(n_dev, 1),
+        env_steps_per_update=env_steps,
+        compile_s=compile_s,
         final_return=last_return,
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_details.json"), "w") as f:
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="c2_reacher3")
+    ap.add_argument("--all", action="store_true",
+                    help="bench every config c1-c5")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--measure-oracle", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_oracle:
+        measure_oracle()
+        return
+
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
+
+    if args.all:
+        # One SUBPROCESS per config — and NO jax import in this parent:
+        # the tunnelled TPU worker accumulates loaded programs across
+        # configs and crashes partway through c5 when all five run in
+        # one process (jax.clear_caches + gc did not help), and a parent
+        # holding a TPU client would deadlock the children (one client
+        # at a time). Sequential children; the server-side HLO cache
+        # makes repeat compiles cheap.
+        import subprocess
+        from trpo_robot_control_tpu.configs import CONFIGS
+        here = os.path.abspath(__file__)
+        per_config = {}
+        meta = {}
+        for name in CONFIGS:
+            r = subprocess.run(
+                [sys.executable, here, "--config", name,
+                 "--reps", str(args.reps)],
+                cwd=os.path.dirname(here), capture_output=True, text=True)
+            if r.returncode != 0:
+                print(f"# {name}: FAILED\n{r.stderr[-2000:]}",
+                      file=sys.stderr, flush=True)
+                continue
+            with open(details_path) as f:
+                block = json.load(f)
+            meta = {k: block[k] for k in ("n_devices", "device_kind")}
+            per_config[name] = {
+                k: v for k, v in block.items()
+                if k not in ("config", "n_devices", "device_kind",
+                             "oracle_seconds_per_update")}
+            print(f"# {name}: "
+                  f"{per_config[name]['updates_per_s']:.1f} updates/s, "
+                  f"{per_config[name]['rollout_steps_per_s_per_chip']:.3g}"
+                  f" rollout steps/s/chip", file=sys.stderr, flush=True)
+        head_name = "c2_reacher3" if "c2_reacher3" in per_config \
+            else next(iter(per_config))
+        head = per_config[head_name]
+    else:
+        import jax
+
+        from trpo_robot_control_tpu.configs import CONFIGS
+        from trpo_robot_control_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh() if n_dev > 1 else None
+        head_name = args.config
+        head = bench_config(CONFIGS[args.config], mesh, n_dev,
+                            reps=args.reps)
+        per_config = {args.config: head}
+        meta = dict(n_devices=n_dev,
+                    device_kind=jax.devices()[0].device_kind)
+
+    vs_baseline = head["updates_per_s"] * ORACLE_C2_SECONDS_PER_UPDATE \
+        if head_name == "c2_reacher3" else None
+
+    details = dict(
+        config=head_name,
+        oracle_seconds_per_update=ORACLE_C2_SECONDS_PER_UPDATE,
+        **meta, **head,
+    )
+    if args.all:
+        details["configs"] = per_config
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({
         "metric": "fvp_cg_natural_gradient_updates_per_s",
-        "value": round(updates_per_s, 4),
+        "value": round(head["updates_per_s"], 4),
         "unit": "updates/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
