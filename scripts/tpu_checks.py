@@ -103,6 +103,52 @@ def main():
               for k in ("obs", "actions", "rewards"))
     check("3D rollout kernel == twin", err < 1e-4, f"max err {err:.2e}")
 
+    # ---- in-kernel early termination (done flags + PRNG auto-reset)
+    # Exact semantic check: for the reach task, the kernel's reward is
+    # r_t = -(dist2 + w*ctrl) at the post-step state, so
+    # dist2 = -r_t - w*sum(clip(a)^2) reconstructs the done predicate
+    # bit-for-bit; resets must land inside the reset distribution bounds.
+    for name, mk in (("planar", lambda cc: pallas_rollout(
+                          cc, params, 11, n_envs=256, block_b=256)),
+                     ("3D", lambda cc: pallas_rollout3d(
+                          c3s.replace(done_dist=0.12, horizon=30),
+                          params7, 11, n_envs=256, block_b=256))):
+        cc = c2s.replace(done_dist=0.08, horizon=30)
+        cfg_t = cc if name == "planar" else c3s.replace(done_dist=0.12,
+                                                        horizon=30)
+        b = jax.device_get(jax.jit(lambda: mk(cc))())
+        dn = b["dones"]
+        tau = np.clip(b["actions"], -cfg_t.arm.torque_limit,
+                      cfg_t.arm.torque_limit)
+        dist2 = -b["rewards"] - cfg_t.cost.ctrl_weight \
+            * np.sum(tau ** 2, axis=-1)
+        want = (dist2 < cfg_t.done_dist ** 2).astype(np.float32)
+        agree = (dn[:, :-1] == want[:, :-1]).mean()
+        frac = dn[:, :-1].mean()
+        ok = agree == 1.0 and (dn[:, -1] == 1.0).all() and frac < 0.5
+        check(f"{name} in-kernel termination done flags", bool(ok),
+              f"agree {agree:.4f}, done frac {frac:.3f}")
+        # post-done step must start from a fresh reset: velocity obs
+        # bounded by the reset noise
+        n_j = cfg_t.arm.n_joints
+        e, t = np.nonzero(dn[:, :-2])
+        if len(e):
+            qd_obs = b["obs"][e, t + 1, 2 * n_j:3 * n_j] \
+                / cfg_t.arm.qd_obs_scale
+            check(f"{name} post-done reset bounds",
+                  bool(np.abs(qd_obs).max() <= cfg_t.arm.qd0_noise + 1e-5),
+                  f"max |qd0| {np.abs(qd_obs).max():.3f} "
+                  f"(bound {cfg_t.arm.qd0_noise})")
+
+    # ---- terminating config trains end-to-end on the fused path
+    cfg_term = C2_REACHER3.replace(n_envs=256, horizon=40, done_dist=0.08)
+    many_t = make_train_many(cfg_term, 10)
+    st_t, stats_t = many_t(init_state(cfg_term, seed=0))
+    rets_t = np.asarray(stats_t["mean_return"])
+    check("terminating config trains on fused kernels",
+          bool(np.isfinite(rets_t).all()),
+          f"returns {rets_t[0]:.1f} -> {rets_t[-1]:.1f}")
+
     # ---- fused kernels under shard_map on a 1-device TPU mesh
     # (VERDICT r1 item 2: the kernel + shard_map + psum composition of
     # configs 4-5, compiled — the fake-mesh CI covers interpret only)

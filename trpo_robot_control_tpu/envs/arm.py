@@ -156,11 +156,11 @@ def make_rollout_fn(cfg: ExperimentConfig):
     planar_ok = planar and cfg.n_tasks == 1 and cfg.cost.obstacle_weight == 0.0
     if impl == "auto":
         on_tpu = _jax.default_backend() != "cpu"
-        if not on_tpu or cfg.done_dist > 0.0:
-            # early-termination auto-reset is implemented on the scan
-            # path only (the fused kernels run fixed-horizon episodes)
+        if not on_tpu:
             impl = "xla"
         else:
+            # the fused kernels implement early termination in-kernel
+            # (PRNG episode resampling), so done_dist > 0 stays fused
             impl = "pallas" if planar_ok else "pallas3d"
     if impl in ("pallas", "pallas3d"):
         from ..ops.pallas.rollout_kernel import auto_block_b
@@ -180,10 +180,15 @@ def make_rollout_fn(cfg: ExperimentConfig):
                 return rollout(cfg, params, _policy.sample, key, n_envs=n)
             # explicit "pallas"/"pallas3d" on a CPU backend (tests, fake
             # meshes) runs the kernel in interpret mode; the on-chip PRNG
-            # has no CPU lowering, so supply host-sampled action noise
+            # has no CPU lowering, so supply host-sampled action noise —
+            # and since in-kernel termination needs the PRNG, terminating
+            # configs take the scan path on CPU
             interp = _jax.default_backend() == "cpu"
             eps = None
             if interp:
+                if cfg.done_dist > 0.0:
+                    return rollout(cfg, params, _policy.sample, key,
+                                   n_envs=n)
                 k_eps, key = _jax.random.split(key)
                 eps = _jax.random.normal(
                     k_eps, (cfg.horizon, n, cfg.arm.n_joints))

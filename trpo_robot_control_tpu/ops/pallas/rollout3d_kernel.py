@@ -133,14 +133,19 @@ class Arm3DConsts(NamedTuple):
     push_speed: float
     push_weight: float
     chol_reg: float
+    # early termination (cfg.done_dist > 0): episodes end on reaching
+    # the target; the kernel resamples a fresh episode IN-KERNEL from
+    # the on-chip PRNG (same distributions as envs/arm.py:reset)
+    done_dist: float = 0.0
+    q0_noise: float = 0.0
+    qd0_noise: float = 0.0
+    rmin: float = 0.0
+    rmax: float = 0.0
 
 
 def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     spec = cfg.arm
     c = ArmConstants(spec)
-    assert cfg.done_dist == 0.0, \
-        "fused kernels run fixed-horizon episodes (early termination " \
-        "routes to the XLA scan path in envs/arm.py:make_rollout_fn)"
     return Arm3DConsts(
         n=c.n,
         n_tasks=int(cfg.n_tasks),
@@ -164,6 +169,11 @@ def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
         push_speed=float(cfg.cost.push_speed),
         push_weight=float(cfg.cost.push_weight),
         chol_reg=chol_reg,
+        done_dist=float(cfg.done_dist),
+        q0_noise=float(spec.q0_noise),
+        qd0_noise=float(spec.qd0_noise),
+        rmin=float(spec.target_rmin_frac * spec.reach),
+        rmax=float(spec.target_rmax_frac * spec.reach),
     )
 
 
@@ -384,10 +394,11 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
             term = jnp.maximum(c.obstacle_radius - dist, 0.0) ** 2
             pen = term if pen is None else pen + term
         rew = rew - c.obstacle_weight * pen
-    return q, qd, tgt, obs, act, rew
+    return q, qd, tgt, obs, act, rew, v_dot(d, d)
 
 
-def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
+def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
+                      terminating, *refs):
     it = iter(refs)
     q0_ref = next(it)
     qd0_ref = next(it)
@@ -403,6 +414,7 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
     obs_out = next(it)
     act_out = next(it)
     rew_out = next(it)
+    done_out = next(it) if terminating else None
 
     n = c.n
     if use_prng:
@@ -418,7 +430,11 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
     b_blocks = [b[:] for b in bs]
 
     def body(t, carry):
-        q, qd, tgt = carry
+        if terminating and task_oh is not None:
+            q, qd, tgt, toh = carry
+        else:
+            q, qd, tgt = carry
+            toh = task_oh
         if use_prng:
             shape = (n, q[0].shape[-1])
             u1 = _uniform_01(shape)
@@ -426,14 +442,50 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng, *refs):
             eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         else:
             eps = eps_ref[t]
-        q2, qd2, tgt2, obs, act, rew = _step3(
-            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, task_oh)
+        q2, qd2, tgt2, obs, act, rew, dist2 = _step3(
+            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, toh)
         obs_out[t] = obs
         act_out[t] = act
         rew_out[t] = rew
+        if terminating:
+            # episode ends on reaching the (post-step, possibly
+            # track-rotated) target; resample a FRESH episode in-kernel
+            # (same distributions as envs/arm.py:reset)
+            done = (dist2 < c.done_dist * c.done_dist)   # (1, B) bool
+            done_out[t] = done.astype(jnp.float32)
+            row = (1, q2[0].shape[-1])
+            for i in range(n):
+                qf = c.q0_noise * (2.0 * _uniform_01(row) - 1.0)
+                qdf = c.qd0_noise * (2.0 * _uniform_01(row) - 1.0)
+                q2[i] = jnp.where(done, qf, q2[i])
+                qd2[i] = jnp.where(done, qdf, qd2[i])
+            # fresh target: r * dir, dir ~ normalized 3-normal, z = |z|
+            g1 = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row))) \
+                * jnp.cos(_TWO_PI * _uniform_01(row))
+            bm = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row)))
+            ang = _TWO_PI * _uniform_01(row)
+            g2 = bm * jnp.cos(ang)
+            g3 = bm * jnp.sin(ang)
+            nrm = jnp.sqrt(g1 * g1 + g2 * g2 + g3 * g3) + 1e-12
+            r = c.rmin + (c.rmax - c.rmin) * _uniform_01(row)
+            tgt2 = (jnp.where(done, r * g1 / nrm, tgt2[0]),
+                    jnp.where(done, r * g2 / nrm, tgt2[1]),
+                    jnp.where(done, r * jnp.abs(g3) / nrm, tgt2[2]))
+            if toh is not None:
+                # fresh task family ~ uniform {0..n_tasks-1}
+                u = _uniform_01(row) * c.n_tasks
+                toh = tuple(
+                    jnp.where(done,
+                              jnp.logical_and(u >= k, u < k + 1)
+                              .astype(jnp.float32), toh[k])
+                    for k in range(c.n_tasks))
+                return (q2, qd2, tgt2, toh)
         return (q2, qd2, tgt2)
 
-    jax.lax.fori_loop(0, T, body, (q, qd, tgt))
+    if terminating and task_oh is not None:
+        jax.lax.fori_loop(0, T, body, (q, qd, tgt, task_oh))
+    else:
+        jax.lax.fori_loop(0, T, body, (q, qd, tgt))
 
 
 def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
@@ -516,15 +568,31 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
         jax.ShapeDtypeStruct((T, n, N), jnp.float32),
         jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
     ]
+    terminating = cfg.done_dist > 0.0
+    assert not terminating or use_prng, \
+        "in-kernel early termination resamples episodes from the " \
+        "on-chip PRNG; the eps twin mode runs fixed-horizon only"
+    if terminating:
+        out_specs.append(pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32))
 
-    kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng)
-    obs_ff, act_ff, rew_ff = pl.pallas_call(
+    kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng,
+                               terminating)
+    outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret)(*inputs)
+    obs_ff, act_ff, rew_ff = outs[:3]
 
-    return dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
-                actions=jnp.transpose(act_ff, (2, 0, 1)),
-                rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
+                 actions=jnp.transpose(act_ff, (2, 0, 1)),
+                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+    if terminating:
+        # the final step always terminates (fixed buffer end, no
+        # bootstrap) — same convention as envs/arm.py:rollout
+        dones = jnp.transpose(outs[3][:, 0, :], (1, 0))
+        batch["dones"] = dones.at[:, -1].set(1.0)
+    return batch
 
 
 def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps,
@@ -547,8 +615,8 @@ def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps,
 
     def body(carry, eps_t):
         q, qd, tgt_c = carry
-        q2, qd2, tgt2, obs, act, rew = _step3(c, Ws, bs, sigma, q, qd,
-                                              tgt_c, eps_t.T, task_oh)
+        q2, qd2, tgt2, obs, act, rew, _ = _step3(c, Ws, bs, sigma, q, qd,
+                                                 tgt_c, eps_t.T, task_oh)
         return (q2, qd2, tgt2), (obs, act, rew)
 
     (_, _, _), (obs, act, rew) = jax.lax.scan(body, (q, qd, tgt_t), eps)

@@ -56,6 +56,14 @@ class PlanarConsts(NamedTuple):
     qd_obs_scale: float
     ctrl_weight: float
     chol_reg: float
+    # early termination (cfg.done_dist > 0): episodes end on reaching
+    # the target; the kernel resamples a fresh episode IN-KERNEL from
+    # the on-chip PRNG (same distributions as envs/arm.py:reset)
+    done_dist: float = 0.0
+    q0_noise: float = 0.0
+    qd0_noise: float = 0.0
+    rmin: float = 0.0
+    rmax: float = 0.0
 
 
 def auto_block_b(cfg: ExperimentConfig, n_envs: int,
@@ -79,9 +87,6 @@ def planar_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     assert c.planar, "fused rollout kernel requires a planar arm"
     assert abs(spec.gravity) < 1e-12, "planar kernel assumes zero gravity"
     assert cfg.n_tasks == 1, "planar kernel covers the reach task"
-    assert cfg.done_dist == 0.0, \
-        "fused kernels run fixed-horizon episodes (early termination " \
-        "routes to the XLA scan path in envs/arm.py:make_rollout_fn)"
     n = spec.n_joints
     l = tuple(float(spec.joints[i + 1].pos[0]) for i in range(n - 1)) \
         + (float(spec.ee_offset[0]),)
@@ -97,6 +102,11 @@ def planar_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
         qd_obs_scale=float(spec.qd_obs_scale),
         ctrl_weight=float(cfg.cost.ctrl_weight),
         chol_reg=chol_reg,
+        done_dist=float(cfg.done_dist),
+        q0_noise=float(spec.q0_noise),
+        qd0_noise=float(spec.qd0_noise),
+        rmin=float(spec.target_rmin_frac * spec.reach),
+        rmax=float(spec.target_rmax_frac * spec.reach),
     )
 
 
@@ -271,16 +281,18 @@ def _step_ff(c: PlanarConsts, Ws, bs, sigma, q, qd, tgtx, tgty, eps):
     for i in range(n):
         t2 = tau_l[i] * tau_l[i]
         ctrl = t2 if ctrl is None else ctrl + t2
-    rew = -(dx * dx + dy * dy + c.ctrl_weight * ctrl)
-    return q, qd, obs, act, rew
+    dist2 = dx * dx + dy * dy
+    rew = -(dist2 + c.ctrl_weight * ctrl)
+    return q, qd, obs, act, rew, dist2
 
 
 # --------------------------------------------------------------- kernel
-def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng,
+def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng, terminating,
                     *refs):
     """refs: q0 (n,Bt), qd0 (n,Bt), tgt (2,Bt), W0..W_{L-1}, b0..b_{L-1}
     (feature-first (d,1)), logstd (n,1), seed (1,1 SMEM) | eps (T,n,Bt),
-    -> obs_out (T,do,Bt), act_out (T,n,Bt), rew_out (T,1,Bt)."""
+    -> obs_out (T,do,Bt), act_out (T,n,Bt), rew_out (T,1,Bt)
+    [, done_out (T,1,Bt) when terminating]."""
     it = iter(refs)
     q0_ref = next(it)
     qd0_ref = next(it)
@@ -295,6 +307,7 @@ def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng,
     obs_out = next(it)
     act_out = next(it)
     rew_out = next(it)
+    done_out = next(it) if terminating else None
 
     n = c.n
     if use_prng:
@@ -309,7 +322,7 @@ def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng,
     b_blocks = [b[:] for b in bs]
 
     def body(t, carry):
-        q, qd = carry
+        q, qd, tgtx, tgty = carry
         if use_prng:
             shape = (n, q[0].shape[-1])
             u1 = _uniform_01(shape)
@@ -317,14 +330,30 @@ def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng,
             eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         else:
             eps = eps_ref[t]
-        q2, qd2, obs, act, rew = _step_ff(
+        q2, qd2, obs, act, rew, dist2 = _step_ff(
             c, W_blocks, b_blocks, sigma, q, qd, tgtx, tgty, eps)
         obs_out[t] = obs
         act_out[t] = act
         rew_out[t] = rew
-        return (q2, qd2)
+        if terminating:
+            # episode ends on reaching the target; resample a FRESH
+            # episode in-kernel (same distributions as envs/arm.py:reset,
+            # drawn from the on-chip PRNG stream)
+            done = (dist2 < c.done_dist * c.done_dist)  # (1, B) bool
+            done_out[t] = done.astype(jnp.float32)
+            row = (1, q2[0].shape[-1])
+            for i in range(n):
+                qf = c.q0_noise * (2.0 * _uniform_01(row) - 1.0)
+                qdf = c.qd0_noise * (2.0 * _uniform_01(row) - 1.0)
+                q2[i] = jnp.where(done, qf, q2[i])
+                qd2[i] = jnp.where(done, qdf, qd2[i])
+            r = c.rmin + (c.rmax - c.rmin) * _uniform_01(row)
+            th = _TWO_PI * _uniform_01(row)
+            tgtx = jnp.where(done, r * jnp.cos(th), tgtx)
+            tgty = jnp.where(done, r * jnp.sin(th), tgty)
+        return (q2, qd2, tgtx, tgty)
 
-    jax.lax.fori_loop(0, T, body, (q, qd))
+    jax.lax.fori_loop(0, T, body, (q, qd, tgtx, tgty))
 
 
 def _uniform_01(shape):
@@ -421,16 +450,32 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
         jax.ShapeDtypeStruct((T, n, N), jnp.float32),
         jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
     ]
+    terminating = cfg.done_dist > 0.0
+    assert not terminating or use_prng, \
+        "in-kernel early termination resamples episodes from the " \
+        "on-chip PRNG; the eps twin mode runs fixed-horizon only"
+    if terminating:
+        out_specs.append(pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32))
 
-    kernel = functools.partial(_rollout_kernel, c, T, L, use_prng)
-    obs_ff, act_ff, rew_ff = pl.pallas_call(
+    kernel = functools.partial(_rollout_kernel, c, T, L, use_prng,
+                               terminating)
+    outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret)(*inputs)
+    obs_ff, act_ff, rew_ff = outs[:3]
 
     # (T, d, N) -> (N, T, d)
-    return dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
-                actions=jnp.transpose(act_ff, (2, 0, 1)),
-                rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
+                 actions=jnp.transpose(act_ff, (2, 0, 1)),
+                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+    if terminating:
+        # the final step always terminates (fixed buffer end, no
+        # bootstrap) — same convention as envs/arm.py:rollout
+        dones = jnp.transpose(outs[3][:, 0, :], (1, 0))
+        batch["dones"] = dones.at[:, -1].set(1.0)
+    return batch
 
 
 def rollout_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
@@ -450,8 +495,8 @@ def rollout_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
 
     def body(carry, eps_t):
         q, qd = carry
-        q2, qd2, obs, act, rew = _step_ff(c, Ws, bs, sigma, q, qd,
-                                          tgtx, tgty, eps_t.T)
+        q2, qd2, obs, act, rew, _ = _step_ff(c, Ws, bs, sigma, q, qd,
+                                             tgtx, tgty, eps_t.T)
         return (q2, qd2), (obs, act, rew)
 
     (_, _), (obs, act, rew) = jax.lax.scan(body, (q, qd), eps)
