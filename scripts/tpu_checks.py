@@ -166,7 +166,8 @@ def main():
         st.params, jax.random.PRNGKey(8))
     p1, _, st1 = jax.jit(
         lambda p, w, b: trpo_update(cfg_p, p, w, b))(st.params, st.w, batch)
-    p2, _, st2 = make_sharded_update(cfg_p, mesh1)(
+    p2, _, st2 = make_sharded_update(cfg_p, mesh1,
+                                     batch_keys=tuple(batch))(
         st.params, st.w, shard_batch(mesh1, batch))
     th1, _ = ravel_pytree(p1)
     th2, _ = ravel_pytree(p2)

@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel 'model' axis size (policy "
                          "hidden dim sharded; parallel/tensor.py)")
+    ap.add_argument("--done-dist", type=float, default=None,
+                    help="early episode termination distance (0 = fixed "
+                         "horizon; >0 = end + auto-reset on reaching "
+                         "the target, in-kernel on TPU)")
+    ap.add_argument("--baseline", choices=("linear", "mlp"), default=None,
+                    help="value baseline: linear ridge fit (default, "
+                         "oracle parity) or small-MLP Adam refit")
     args = ap.parse_args(argv)
 
     import jax
@@ -48,6 +55,12 @@ def main(argv=None):
         cfg = cfg.replace(n_envs=args.n_envs)
     if args.horizon:
         cfg = cfg.replace(horizon=args.horizon)
+    if args.done_dist is not None:
+        cfg = cfg.replace(done_dist=args.done_dist)
+    if args.baseline is not None:
+        import dataclasses
+        cfg = cfg.replace(trpo=dataclasses.replace(cfg.trpo,
+                                                   baseline=args.baseline))
 
     log = JsonlLogger(args.jsonl)
     from ..utils.checkpoint import config_hash

@@ -22,6 +22,19 @@ def features(obs, horizon: int):
         [obs, obs ** 2, t, t ** 2, t ** 3, jnp.ones_like(t)], axis=-1)
 
 
+def features_ff(obs_ff, horizon: int):
+    """Feature-first twin of `features`: obs_ff (T, do, N) -> phi
+    (T, F, N), same feature order along F. Consumes the fused rollout
+    kernels' native layout so the normal equations need no (F, B)
+    transpose (trpo/update.py)."""
+    T, do, N = obs_ff.shape
+    t = (jnp.arange(T, dtype=obs_ff.dtype) / horizon)[:, None, None]
+    t = jnp.broadcast_to(t, (T, 1, N))
+    return jnp.concatenate(
+        [obs_ff, obs_ff ** 2, t, t ** 2, t ** 3, jnp.ones_like(t)],
+        axis=1)
+
+
 def predict(w, phi):
     return phi @ w
 

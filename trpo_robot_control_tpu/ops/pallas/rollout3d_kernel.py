@@ -584,9 +584,12 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
         out_shape=out_shape, interpret=interpret)(*inputs)
     obs_ff, act_ff, rew_ff = outs[:3]
 
+    # obs_ff: kernel-native feature-first layout for the baseline
+    # normal equations (see rollout_kernel.py / trpo/update.py)
     batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
                  actions=jnp.transpose(act_ff, (2, 0, 1)),
-                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
+                 obs_ff=obs_ff)
     if terminating:
         # the final step always terminates (fixed buffer end, no
         # bootstrap) — same convention as envs/arm.py:rollout

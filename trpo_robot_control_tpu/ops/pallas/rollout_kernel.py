@@ -466,10 +466,15 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
         out_shape=out_shape, interpret=interpret)(*inputs)
     obs_ff, act_ff, rew_ff = outs[:3]
 
-    # (T, d, N) -> (N, T, d)
+    # (T, d, N) -> (N, T, d). obs_ff additionally exposes the kernel's
+    # NATIVE feature-first layout: the baseline normal equations consume
+    # it directly (trpo/update.py), which avoids XLA re-materialising a
+    # (F, B)-transposed phi via a chunked while+DUS loop (measured ~3x
+    # on the feature pipeline at c4 scale).
     batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
                  actions=jnp.transpose(act_ff, (2, 0, 1)),
-                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)))
+                 rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
+                 obs_ff=obs_ff)
     if terminating:
         # the final step always terminates (fixed buffer end, no
         # bootstrap) — same convention as envs/arm.py:rollout

@@ -132,13 +132,19 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
     return jax.jit(sharded, **kw)
 
 
+def _key_spec(k):
+    """Batch-dict sharding: envs on axis 0, except the fused kernels'
+    feature-first obs (T, do, N) with envs on the LAST axis."""
+    return P(None, None, DATA_AXIS) if k == "obs_ff" else P(DATA_AXIS)
+
+
 def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,
                         batch_keys=("obs", "actions", "rewards")):
     """Sharded update on a PRE-COLLECTED batch (envs axis sharded over
     'data'). Used by the equivalence tests and external data pipelines.
-    batch_keys must match the batch dict (include "dones" for
-    early-termination batches)."""
-    batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
+    batch_keys must match the batch dict (include "dones" /"obs_ff" when
+    present)."""
+    batch_spec = {k: _key_spec(k) for k in batch_keys}
 
     def local_update(params, w, batch):
         return trpo_update(cfg, params, w, batch, axis_name=DATA_AXIS)
@@ -182,8 +188,8 @@ def make_sharded_update_tp(cfg: ExperimentConfig, mesh: Mesh,
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch with the env axis sharded over 'data'."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return {k: jax.device_put(jnp.asarray(v), sharding)
+    return {k: jax.device_put(jnp.asarray(v),
+                              NamedSharding(mesh, _key_spec(k)))
             for k, v in batch.items()}
 
 

@@ -48,11 +48,21 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     da = actions.shape[-1]
     B = N * T
 
-    # ---- 1) values (old baseline) -> GAE -> whiten -> targets -> refit
-    phi = baseline.features(obs, cfg.horizon)
+    # ---- 1) values (old baseline) -> GAE -> whiten -> targets -> refit.
+    # When the batch carries the fused kernels' NATIVE feature-first
+    # obs (T, do, N), the whole linear-baseline pipeline runs in that
+    # layout: XLA otherwise materialises a (F, B)-transposed phi through
+    # a chunked while+DUS loop that costs more than the normal-equation
+    # matmul itself (~3x measured at c4 scale). Same math, reassociated.
     mlp_baseline = tr.baseline == "mlp"
-    values = baseline.predict_mlp(w, phi) if mlp_baseline \
-        else baseline.predict(w, phi)
+    obs_ff = batch.get("obs_ff") if not mlp_baseline else None
+    if obs_ff is not None:
+        phi_ff = baseline.features_ff(obs_ff, cfg.horizon)  # (T, F, N)
+        values = jnp.einsum("tfn,f->nt", phi_ff, w)
+    else:
+        phi = baseline.features(obs, cfg.horizon)
+        values = baseline.predict_mlp(w, phi) if mlp_baseline \
+            else baseline.predict(w, phi)
     adv_raw = gae(rewards, values, tr.gamma, tr.lam,
                   dones=batch.get("dones"))
 
@@ -62,17 +72,24 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     adv = (adv_raw - m1) / (std + 1e-8)
     targets = adv_raw + values
 
-    F = phi.shape[-1]
-    phi_f = phi.reshape(B, F)
-    if mlp_baseline:
-        w_new = baseline.fit_mlp(w, phi_f, targets.reshape(B),
-                                 tr.baseline_lr, tr.baseline_epochs,
-                                 axis_name=axis_name)
-    else:
-        A = _psum(phi_f.T @ phi_f, axis_name) \
-            + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
-        b_vec = _psum(phi_f.T @ targets.reshape(B), axis_name)
+    if obs_ff is not None:
+        F = phi_ff.shape[1]
+        A = _psum(jnp.einsum("tfn,tgn->fg", phi_ff, phi_ff), axis_name) \
+            + tr.baseline_reg * jnp.eye(F, dtype=phi_ff.dtype)
+        b_vec = _psum(jnp.einsum("tfn,nt->f", phi_ff, targets), axis_name)
         w_new = baseline.fit_normal(A, b_vec)
+    else:
+        F = phi.shape[-1]
+        phi_f = phi.reshape(B, F)
+        if mlp_baseline:
+            w_new = baseline.fit_mlp(w, phi_f, targets.reshape(B),
+                                     tr.baseline_lr, tr.baseline_epochs,
+                                     axis_name=axis_name)
+        else:
+            A = _psum(phi_f.T @ phi_f, axis_name) \
+                + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
+            b_vec = _psum(phi_f.T @ targets.reshape(B), axis_name)
+            w_new = baseline.fit_normal(A, b_vec)
 
     # ---- 2) flatten the batch
     obs_f = obs.reshape(B, do)
