@@ -36,6 +36,7 @@ def test_update_with_obs_ff_matches_standard():
 
     batch_ff = dict(batch)
     batch_ff["obs_ff"] = jnp.transpose(batch["obs"], (1, 2, 0))
+    batch_ff["actions_ff"] = jnp.transpose(batch["actions"], (1, 2, 0))
     p2, w2, st2 = jax.jit(lambda p, w, b: trpo_update(CFG, p, w, b))(
         state.params, state.w, batch_ff)
 

@@ -75,3 +75,86 @@ def kl(mu_old, logstd_old, mu_new, logstd_new):
 
 def entropy(logstd):
     return jnp.sum(logstd + 0.5 * (1.0 + LOG2PI))
+
+
+# --------------------------------------------------------- feature-first
+# Twins of dist/log_prob/the surrogate gradient that consume the fused
+# rollout kernels' NATIVE (T, d, N) layout. Purpose: layout, not math —
+# with the standard path, XLA relayouts the kernel-emitted batch into a
+# column-major (B, do) copy for the gradient's outer products through a
+# chunked while+dynamic-update-slice loop (~17 ms/update at c4); the
+# feature-first einsums consume (T, d, N) operands as produced and the
+# unused (N, T, do) transpose is dead-code-eliminated from the fused
+# train step. The gradient is written out manually (the surrogate's
+# output cotangent at theta_old is closed-form: the importance ratio is
+# 1), summed over (t, n) — identical math, reassociated.
+
+def hidden_ff(params, obs_ff):
+    """obs_ff (T, do, N) -> all hidden activations [(T, h, N), ...]."""
+    hs = []
+    h = obs_ff
+    for i in range(n_layers(params) - 1):
+        h = jnp.tanh(jnp.einsum("io,tin->ton", params[f"W{i}"], h)
+                     + params[f"b{i}"][None, :, None])
+        hs.append(h)
+    return hs
+
+
+def dist_ff(params, obs_ff, hs=None):
+    """-> (mu_ff (T, da, N), logstd)."""
+    L = n_layers(params)
+    h = (hs or hidden_ff(params, obs_ff))[-1]
+    mu = jnp.einsum("io,tin->ton", params[f"W{L - 1}"], h) \
+        + params[f"b{L - 1}"][None, :, None]
+    return mu, params["logstd"]
+
+
+def log_prob_ff(mu_ff, logstd, act_ff):
+    """(T, da, N) operands -> per-sample logp (T, N)."""
+    z = (act_ff - mu_ff) * jnp.exp(-logstd)[None, :, None]
+    da = mu_ff.shape[1]
+    return -0.5 * (jnp.sum(z ** 2, axis=1)
+                   + 2.0 * jnp.sum(logstd) + da * LOG2PI)
+
+
+def kl_ff(mu_old_ff, logstd_old, mu_new_ff, logstd_new):
+    """Mean over batch of KL(old || new) on (T, da, N) means."""
+    var_old = jnp.exp(2.0 * logstd_old)
+    var_new = jnp.exp(2.0 * logstd_new)
+    quad = jnp.mean(jnp.sum((mu_old_ff - mu_new_ff) ** 2
+                            / (2.0 * var_new)[None, :, None], axis=1))
+    const = jnp.sum(logstd_new - logstd_old
+                    + var_old / (2.0 * var_new) - 0.5)
+    return quad + const
+
+
+def surrogate_grad_ff(params, obs_ff, act_ff, adv_ff, hs=None):
+    """Manual gradient of the surrogate at theta_old in (T, d, N)
+    layout. Returns (g_tree, mu_ff, logp_old (T, N)). Matches
+    jax.grad of the standard surrogate up to fp32 reassociation
+    (tests/test_ff_baseline.py)."""
+    L = n_layers(params)
+    T, do, N = obs_ff.shape
+    B = T * N
+    hs = hs or hidden_ff(params, obs_ff)
+    mu, logstd = dist_ff(params, obs_ff, hs=hs)
+    inv_var = jnp.exp(-2.0 * logstd)
+    z = (act_ff - mu) * jnp.exp(-logstd)[None, :, None]
+    logp_old = -0.5 * (jnp.sum(z ** 2, axis=1)
+                       + 2.0 * jnp.sum(logstd)
+                       + mu.shape[1] * LOG2PI)
+
+    # output cotangent: ratio == 1 at theta_old
+    u = adv_ff[:, None, :] * (act_ff - mu) * inv_var[None, :, None] / B
+    g = {"logstd": jnp.mean(adv_ff[:, None, :] * (z * z - 1.0),
+                            axis=(0, 2)) * (T * N) / B}
+    ct = u
+    for l in range(L - 1, 0, -1):
+        h_in = hs[l - 1]
+        g[f"W{l}"] = jnp.einsum("tin,ton->io", h_in, ct)
+        g[f"b{l}"] = jnp.sum(ct, axis=(0, 2))
+        ct = jnp.einsum("io,ton->tin", params[f"W{l}"], ct) \
+            * (1.0 - h_in * h_in)
+    g["W0"] = jnp.einsum("tin,ton->io", obs_ff, ct)
+    g["b0"] = jnp.sum(ct, axis=(0, 2))
+    return g, mu, logp_old

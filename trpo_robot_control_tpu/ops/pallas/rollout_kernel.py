@@ -474,7 +474,7 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
     batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
                  actions=jnp.transpose(act_ff, (2, 0, 1)),
                  rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
-                 obs_ff=obs_ff)
+                 obs_ff=obs_ff, actions_ff=act_ff)
     if terminating:
         # the final step always terminates (fixed buffer end, no
         # bootstrap) — same convention as envs/arm.py:rollout

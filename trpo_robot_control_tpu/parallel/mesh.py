@@ -135,7 +135,8 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
 def _key_spec(k):
     """Batch-dict sharding: envs on axis 0, except the fused kernels'
     feature-first obs (T, do, N) with envs on the LAST axis."""
-    return P(None, None, DATA_AXIS) if k == "obs_ff" else P(DATA_AXIS)
+    return P(None, None, DATA_AXIS) if k in ("obs_ff", "actions_ff") \
+        else P(DATA_AXIS)
 
 
 def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,

@@ -96,19 +96,32 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     act_f = actions.reshape(B, da)
     adv_f = adv.reshape(B)
 
-    # ---- 3) policy gradient of the surrogate at theta_old
+    # ---- 3) policy gradient of the surrogate at theta_old. With a
+    # kernel-emitted batch (obs_ff/actions_ff) the policy math runs in
+    # the same feature-first layout as the baseline pipeline above —
+    # the manual closed-form gradient (models/policy.py:
+    # surrogate_grad_ff) sums over (t, n) with no batch-major arrays,
+    # so the (N, T, do)/(do, B) relayouts disappear from the fused step.
     theta_old, unravel = ravel_pytree(params)
-    mu_old, logstd_old = policy.dist(params, obs_f)
-    mu_old = jax.lax.stop_gradient(mu_old)
-    logstd_old = jax.lax.stop_gradient(logstd_old)
-    logp_old = policy.log_prob(mu_old, logstd_old, act_f)
+    ff = obs_ff is not None and "actions_ff" in batch
+    if ff:
+        act_ff = batch["actions_ff"]
+        adv_ff = adv.T                              # (T, N)
+        g_tree, mu_old_ff, logp_old_ff = policy.surrogate_grad_ff(
+            params, obs_ff, act_ff, adv_ff)
+        logstd_old = params["logstd"]
+    else:
+        mu_old, logstd_old = policy.dist(params, obs_f)
+        mu_old = jax.lax.stop_gradient(mu_old)
+        logstd_old = jax.lax.stop_gradient(logstd_old)
+        logp_old = policy.log_prob(mu_old, logstd_old, act_f)
 
-    def local_surrogate(p):
-        mu, logstd = policy.dist(p, obs_f)
-        logp = policy.log_prob(mu, logstd, act_f)
-        return jnp.mean(jnp.exp(logp - logp_old) * adv_f)
+        def local_surrogate(p):
+            mu, logstd = policy.dist(p, obs_f)
+            logp = policy.log_prob(mu, logstd, act_f)
+            return jnp.mean(jnp.exp(logp - logp_old) * adv_f)
 
-    g_tree = jax.grad(local_surrogate)(params)
+        g_tree = jax.grad(local_surrogate)(params)
     g, _ = ravel_pytree(g_tree)
     g = _pmean(g, axis_name)
     surr_old = _pmean(jnp.mean(adv_f), axis_name)   # ratio == 1
@@ -120,8 +133,17 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
         impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     # classic TRPO subsample_factor: the Fisher is an expectation — a
     # strided subsample estimates it at 1/k the CG cost (stride keeps the
-    # subsample spread across envs and timesteps deterministically)
-    obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 else obs_f
+    # subsample spread across envs and timesteps deterministically). On
+    # the ff path the stride is taken over time in the (T, do, N)
+    # layout: with T % k == 0 that selects the SAME sample set as
+    # obs_f[::k] (t = 0 mod k for every env; the Fisher sum is order-
+    # free), and only the small subsample gets relaid to (B/k, do).
+    if ff and tr.fvp_subsample > 1:
+        sub = obs_ff[::tr.fvp_subsample]
+        obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do)
+    else:
+        obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 \
+            else obs_f
     if impl == "pallas":
         from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
         fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
@@ -143,10 +165,20 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # ---- 6) backtracking line search (on-device while_loop)
     def eval_fn(theta_c):
         p = unravel(theta_c)
-        mu, logstd = policy.dist(p, obs_f)
-        logp = policy.log_prob(mu, logstd, act_f)
-        surr = _pmean(jnp.mean(jnp.exp(logp - logp_old) * adv_f), axis_name)
-        kl = _pmean(policy.kl(mu_old, logstd_old, mu, logstd), axis_name)
+        if ff:
+            mu, logstd = policy.dist_ff(p, obs_ff)
+            logp = policy.log_prob_ff(mu, logstd, act_ff)
+            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old_ff) * adv_ff),
+                          axis_name)
+            kl = _pmean(policy.kl_ff(mu_old_ff, logstd_old, mu, logstd),
+                        axis_name)
+        else:
+            mu, logstd = policy.dist(p, obs_f)
+            logp = policy.log_prob(mu, logstd, act_f)
+            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old) * adv_f),
+                          axis_name)
+            kl = _pmean(policy.kl(mu_old, logstd_old, mu, logstd),
+                        axis_name)
         return surr, kl
 
     theta_new, accepted, kl_new, surr_new = line_search(
