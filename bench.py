@@ -193,6 +193,10 @@ def main():
                   f"{per_config[name]['updates_per_s']:.1f} updates/s, "
                   f"{per_config[name]['rollout_steps_per_s_per_chip']:.3g}"
                   f" rollout steps/s/chip", file=sys.stderr, flush=True)
+        if not per_config:
+            print("ERROR: every per-config bench subprocess failed "
+                  "(see FAILED lines above)", file=sys.stderr)
+            return 1
         head_name = "c2_reacher3" if "c2_reacher3" in per_config \
             else next(iter(per_config))
         head = per_config[head_name]

@@ -123,7 +123,12 @@ def main():
         dist2 = -b["rewards"] - cfg_t.cost.ctrl_weight \
             * np.sum(tau ** 2, axis=-1)
         want = (dist2 < cfg_t.done_dist ** 2).astype(np.float32)
-        agree = (dn[:, :-1] == want[:, :-1]).mean()
+        # the fp64 host reconstruction can disagree with the kernel's
+        # fp32 predicate only within ~1 ulp of the threshold; require
+        # EXACT agreement away from that band and ignore samples in it
+        clear = np.abs(dist2 - cfg_t.done_dist ** 2)[:, :-1] \
+            > 1e-5 * max(cfg_t.done_dist ** 2, 1e-6)
+        agree = (dn[:, :-1] == want[:, :-1])[clear].mean()
         frac = dn[:, :-1].mean()
         ok = agree == 1.0 and (dn[:, -1] == 1.0).all() and frac < 0.5
         check(f"{name} in-kernel termination done flags", bool(ok),

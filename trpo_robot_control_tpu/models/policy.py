@@ -147,7 +147,7 @@ def surrogate_grad_ff(params, obs_ff, act_ff, adv_ff, hs=None):
     # output cotangent: ratio == 1 at theta_old
     u = adv_ff[:, None, :] * (act_ff - mu) * inv_var[None, :, None] / B
     g = {"logstd": jnp.mean(adv_ff[:, None, :] * (z * z - 1.0),
-                            axis=(0, 2)) * (T * N) / B}
+                            axis=(0, 2))}
     ct = u
     for l in range(L - 1, 0, -1):
         h_in = hs[l - 1]

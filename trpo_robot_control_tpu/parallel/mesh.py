@@ -63,6 +63,10 @@ def init_distributed():
         return
     kw = {"coordinator_address": addr}
     if "JAX_NUM_PROCESSES" in os.environ:
+        if "JAX_PROCESS_ID" not in os.environ:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — "
+                "both are required for an explicit process layout")
         kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(**kw)
@@ -140,22 +144,35 @@ def _key_spec(k):
 
 
 def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,
-                        batch_keys=("obs", "actions", "rewards")):
+                        batch_keys=None):
     """Sharded update on a PRE-COLLECTED batch (envs axis sharded over
     'data'). Used by the equivalence tests and external data pipelines.
-    batch_keys must match the batch dict (include "dones" /"obs_ff" when
-    present)."""
-    batch_spec = {k: _key_spec(k) for k in batch_keys}
+    The in_specs are derived from the batch's keys at call time (one
+    jitted instance per key set), so batches with extra keys ("dones",
+    "obs_ff", "actions_ff") just work; pass batch_keys to pin one."""
 
     def local_update(params, w, batch):
         return trpo_update(cfg, params, w, batch, axis_name=DATA_AXIS)
 
-    sharded = jax.shard_map(
-        local_update, mesh=mesh,
-        in_specs=(P(), P(), batch_spec),
-        out_specs=(P(), P(), P()),
-        check_vma=False)
-    return jax.jit(sharded)
+    def build(keys):
+        batch_spec = {k: _key_spec(k) for k in keys}
+        return jax.jit(jax.shard_map(
+            local_update, mesh=mesh,
+            in_specs=(P(), P(), batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False))
+
+    if batch_keys is not None:
+        return build(batch_keys)
+    cache = {}
+
+    def call(params, w, batch):
+        keys = tuple(sorted(batch))
+        if keys not in cache:
+            cache[keys] = build(keys)
+        return cache[keys](params, w, batch)
+
+    return call
 
 
 def make_sharded_update_tp(cfg: ExperimentConfig, mesh: Mesh,

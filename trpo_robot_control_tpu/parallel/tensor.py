@@ -66,7 +66,6 @@ def unshard_policy_params(local, n_model: int, idx, model_axis: str):
     REQUIRED for TP: with tracking off, the forward psum transposes to
     another psum and every sharded-leaf gradient comes out n_model x too
     large) can prove the outputs replicated."""
-    H = local["b1"].shape[0] if "b1" in local else None
     k = local["b0"].shape[0]
 
     def scatter_psum(x, axis):
@@ -162,6 +161,12 @@ def trpo_update_tp(cfg: ExperimentConfig, local, w, batch,
     local shard out). Mirrors trpo/update.py step for step; batch is
     the 'data'-shard (replicated across 'model')."""
     tr = cfg.trpo
+    if tr.baseline != "linear":
+        raise NotImplementedError(
+            "tensor parallelism currently pairs with the linear value "
+            "baseline only (the MLP baseline's Adam refit is untested "
+            "under the 'model' axis) — use --baseline linear with "
+            "--n-model > 1")
     obs, actions, rewards = batch["obs"], batch["actions"], batch["rewards"]
     N, T, do = obs.shape
     da = actions.shape[-1]
