@@ -225,6 +225,16 @@ def main():
     )
     if args.all:
         details["configs"] = per_config
+    else:
+        # a solo run keeps the last --all run's per-config table so the
+        # driver's end-of-round headline refresh doesn't erase it
+        try:
+            with open(details_path) as f:
+                old = json.load(f)
+            if "configs" in old:
+                details["configs"] = old["configs"]
+        except (OSError, ValueError):
+            pass
     with open(details_path, "w") as f:
         json.dump(details, f, indent=2)
 
