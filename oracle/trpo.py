@@ -25,13 +25,18 @@ def is_planar(spec: ArmSpec) -> bool:
 
 # ----------------------------------------------------------------- env
 class OracleEnv:
-    """Batched (loop-based) arm reaching environment."""
+    """Batched (loop-based) arm environment: reach cost, plus the c4/c5
+    variants (smooth obstacle penalty; track / push goal families with
+    task one-hot observations) mirroring envs/arm.py:step exactly in
+    fp64. Existing single-task zero-obstacle configs consume the SAME
+    RNG stream and arithmetic as before (golden-pinned)."""
 
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
         self.model = ArmModel(cfg.arm)
         self.planar = is_planar(cfg.arm)
         self.n = cfg.arm.n_joints
+        self.task = None                    # (n_envs,) when n_tasks > 1
 
     def reset(self, rng: np.random.RandomState, n_envs: int):
         spec = self.cfg.arm
@@ -49,27 +54,74 @@ class OracleEnv:
             u /= np.linalg.norm(u, axis=-1, keepdims=True) + 1e-12
             u[:, 2] = np.abs(u[:, 2])
             tgt = r[:, None] * u
+        if self.cfg.n_tasks > 1:
+            self.task = rng.randint(0, self.cfg.n_tasks, n_envs)
         return q, qd, tgt
 
     def obs(self, q, qd, tgt):
         spec = self.cfg.arm
         ee = np.stack([self.model.ee_pos(q[i]) for i in range(q.shape[0])])
-        return np.concatenate(
-            [np.cos(q), np.sin(q), spec.qd_obs_scale * qd, tgt - ee], axis=-1)
+        parts = [np.cos(q), np.sin(q), spec.qd_obs_scale * qd, tgt - ee]
+        if self.cfg.n_tasks > 1:
+            oh = np.zeros((q.shape[0], self.cfg.n_tasks))
+            oh[np.arange(q.shape[0]), self.task] = 1.0
+            parts.append(oh)
+        return np.concatenate(parts, axis=-1)
+
+    def _ee_velocity(self, q, qd):
+        """v_ee = sum_i qd_i axis_i x (p_ee - p_i); axis_i = R_i z_hat."""
+        R, p, ee = self.model.fk(q)
+        z = np.array([0.0, 0.0, 1.0])
+        v = np.zeros(3)
+        for i in range(self.n):
+            v = v + qd[i] * np.cross(R[i] @ z, ee - p[i])
+        return v, R, p, ee
 
     def step(self, q, qd, tgt, actions):
-        """Applies clipped torques; reward evaluated at the POST-step state:
-        r = -(|p_ee - p_tgt|^2 + w |tau|^2)."""
+        """Applies clipped torques; reward evaluated at the POST-step
+        state (mirrors envs/arm.py:step): reach cost, track target
+        rotation before scoring (family 1), push velocity penalty
+        (family 2), smooth obstacle penalty when enabled. Returns
+        (q2, qd2, tgt2, reward) — tgt2 differs from tgt only for the
+        track family."""
         spec, cost = self.cfg.arm, self.cfg.cost
+        n_envs = q.shape[0]
         tau = np.clip(actions, -spec.torque_limit, spec.torque_limit)
         q2 = np.empty_like(q)
         qd2 = np.empty_like(qd)
-        for i in range(q.shape[0]):
+        for i in range(n_envs):
             q2[i], qd2[i] = self.model.step(q[i], qd[i], tau[i])
-        ee = np.stack([self.model.ee_pos(q2[i]) for i in range(q.shape[0])])
-        dist2 = np.sum((ee - tgt) ** 2, axis=-1)
-        reward = -(dist2 + cost.ctrl_weight * np.sum(tau ** 2, axis=-1))
-        return q2, qd2, reward
+
+        tgt2 = tgt
+        if self.cfg.n_tasks > 1:
+            c, s = np.cos(cost.track_omega * spec.dt),                 np.sin(cost.track_omega * spec.dt)
+            rot = np.stack([c * tgt[:, 0] - s * tgt[:, 1],
+                            s * tgt[:, 0] + c * tgt[:, 1],
+                            tgt[:, 2]], axis=-1)
+            tgt2 = np.where((self.task == 1)[:, None], rot, tgt)
+
+        reward = np.empty(n_envs)
+        for i in range(n_envs):
+            if self.cfg.n_tasks > 1 or cost.obstacle_weight > 0.0:
+                v_ee, R, p, ee = self._ee_velocity(q2[i], qd2[i])
+            else:
+                ee = self.model.ee_pos(q2[i])
+            delta = ee - tgt2[i]
+            r = -(np.sum(delta ** 2)
+                  + cost.ctrl_weight * np.sum(tau[i] ** 2))
+            if self.cfg.n_tasks > 1 and self.task[i] == 2:
+                dirn = -delta / (np.linalg.norm(delta) + 1e-6)
+                v_err = v_ee - cost.push_speed * dirn
+                r -= cost.push_weight * np.sum(v_err ** 2)
+            if cost.obstacle_weight > 0.0:
+                center = np.asarray(cost.obstacle_center)
+                pen = 0.0
+                for pt in list(p[1:]) + [ee]:
+                    d = np.linalg.norm(pt - center)
+                    pen += max(cost.obstacle_radius - d, 0.0) ** 2
+                r -= cost.obstacle_weight * pen
+            reward[i] = r
+        return q2, qd2, tgt2, reward
 
 
 # ------------------------------------------------------------ baseline
@@ -230,7 +282,7 @@ def collect_rollouts(cfg: ExperimentConfig, env: OracleEnv, params,
     N, T = cfg.n_envs, cfg.horizon
     terminating = cfg.done_dist > 0.0
     q, qd, tgt = env.reset(rng, N)
-    obs_buf = np.zeros((N, T, cfg.arm.obs_dim))
+    obs_buf = np.zeros((N, T, cfg.obs_dim))
     act_buf = np.zeros((N, T, env.n))
     rew_buf = np.zeros((N, T))
     done_buf = np.zeros((N, T))
@@ -239,7 +291,7 @@ def collect_rollouts(cfg: ExperimentConfig, env: OracleEnv, params,
         o = env.obs(q, qd, tgt)
         mu, _, _ = net.forward(params, o)
         a = mu + sigma * rng.standard_normal(mu.shape)
-        q, qd, r = env.step(q, qd, tgt, a)
+        q, qd, tgt, r = env.step(q, qd, tgt, a)
         obs_buf[:, t] = o
         act_buf[:, t] = a
         rew_buf[:, t] = r
@@ -248,9 +300,13 @@ def collect_rollouts(cfg: ExperimentConfig, env: OracleEnv, params,
             done = np.sum((ee - tgt) ** 2, axis=-1) < cfg.done_dist ** 2
             done_buf[:, t] = done
             if done.any():
+                task_old = None if env.task is None else env.task.copy()
                 q2, qd2, tgt2 = env.reset(rng, N)
                 q[done], qd[done], tgt[done] = \
                     q2[done], qd2[done], tgt2[done]
+                if task_old is not None:
+                    # only done envs take the freshly sampled task
+                    env.task = np.where(done, env.task, task_old)
     batch = dict(obs=obs_buf, actions=act_buf, rewards=rew_buf)
     if terminating:
         done_buf[:, T - 1] = 1.0
@@ -264,9 +320,9 @@ def train(cfg: ExperimentConfig, n_iters=None, seed=None, verbose=False):
     seed = cfg.seed if seed is None else seed
     rng = np.random.RandomState(seed)
     env = OracleEnv(cfg)
-    params = net.init_params(rng, cfg.arm.obs_dim, cfg.arm.n_joints,
+    params = net.init_params(rng, cfg.obs_dim, cfg.arm.n_joints,
                              cfg.trpo.hidden, cfg.trpo.logstd_init)
-    w = np.zeros(2 * cfg.arm.obs_dim + 4)
+    w = np.zeros(2 * cfg.obs_dim + 4)
     history = []
     for it in range(n_iters):
         batch = collect_rollouts(cfg, env, params, rng)
