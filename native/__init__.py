@@ -59,6 +59,10 @@ class NativeConfig(ctypes.Structure):
         ("obst_weight", ctypes.c_double),
         ("obst_radius", ctypes.c_double),
         ("obst_center", ctypes.c_double * 3),
+        ("n_tasks", ctypes.c_int32),
+        ("track_omega", ctypes.c_double),
+        ("push_speed", ctypes.c_double),
+        ("push_weight", ctypes.c_double),
     ]
 
 
@@ -94,7 +98,8 @@ def lib():
             ctypes.POINTER(NativeConfig), dp, dp, dp, dp, dp, dp]
         _lib.trpo_cpu_update.restype = ctypes.c_int
         _lib.trpo_cpu_step.argtypes = [
-            ctypes.POINTER(NativeConfig), dp, dp, dp, dp]
+            ctypes.POINTER(NativeConfig), dp, dp, dp, dp,
+            ctypes.c_int32, dp, dp]
         _lib.trpo_cpu_step.restype = ctypes.c_int
         _lib.trpo_cpu_param_size.argtypes = [ctypes.POINTER(NativeConfig)]
         _lib.trpo_cpu_param_size.restype = ctypes.c_size_t
@@ -104,27 +109,27 @@ def lib():
 def make_config(cfg) -> NativeConfig:
     """Build a NativeConfig from an ExperimentConfig.
 
-    Planar zero-gravity arms take the closed-form planar path; any other
-    fixed-base serial arm (e.g. the 7-DoF c3/c4 Franka-like, with
-    gravity and the obstacle penalty) takes the general world-frame RNEA
-    path mirroring oracle/dynamics.py. Multi-task (n_tasks > 1) is
-    descoped in the native backend — the track/push goal families exist
-    for the TPU engine (envs/arm.py); the native rollout covers the
-    reach family that the oracle validates.
+    Planar zero-gravity single-task arms take the closed-form planar
+    path; everything else (the 7-DoF c3/c4 Franka-like with gravity and
+    the obstacle penalty, and ALL multi-task configs — the track/push
+    goal families need EE velocities) takes the general world-frame
+    RNEA path mirroring oracle/dynamics.py. The full c1-c5 feature set
+    is covered; rewards are pinned against the fp64 oracle env in
+    tests/test_native_3d.py.
     """
     from trpo_robot_control_tpu.envs.rigid_body import ArmConstants
     from oracle.dynamics import ArmModel
     spec = cfg.arm
     c = ArmConstants(spec)
-    assert cfg.n_tasks == 1, \
-        "native backend covers the reach task (multi-task descoped)"
     assert cfg.done_dist == 0.0, \
         "native backend runs fixed-horizon episodes"
     n = spec.n_joints
     assert n <= 8
     hidden = cfg.trpo.hidden
     assert len(hidden) == 2, "native net is fixed at 2 hidden layers"
-    planar = c.planar and abs(spec.gravity) < 1e-12
+    # multitask needs the general 3-D path (EE velocity for the push
+    # family), so planar multitask arms take the RNEA route too
+    planar = c.planar and abs(spec.gravity) < 1e-12 and cfg.n_tasks == 1
     nc = NativeConfig()
     nc.n = n
     nc.planar = 1 if planar else 0
@@ -142,6 +147,10 @@ def make_config(cfg) -> NativeConfig:
         nc.obst_center[k] = float(cfg.cost.obstacle_center[k])
     nc.obst_weight = float(cfg.cost.obstacle_weight)
     nc.obst_radius = float(cfg.cost.obstacle_radius)
+    nc.n_tasks = int(cfg.n_tasks)
+    nc.track_omega = float(cfg.cost.track_omega)
+    nc.push_speed = float(cfg.cost.push_speed)
+    nc.push_weight = float(cfg.cost.push_weight)
     if planar:
         ls = [float(spec.joints[i + 1].pos[0]) for i in range(n - 1)] \
             + [float(spec.ee_offset[0])]
@@ -188,17 +197,24 @@ def rollout(cfg, params_flat: np.ndarray, seed: int):
     return dict(obs=obs, actions=act, rewards=rew)
 
 
-def step(cfg, q: np.ndarray, qd: np.ndarray, tau: np.ndarray):
-    """One dynamics step (single env): returns (q2, qd2, ee). Pins the
-    native integrator against oracle/dynamics.py in tests."""
+def step(cfg, q: np.ndarray, qd: np.ndarray, tau: np.ndarray,
+         tgt=None, task: int = 0):
+    """One env step (single env): returns (q2, qd2, ee, tgt2, reward).
+    Pins the native integrator AND the full reward (obstacle / track /
+    push variants) against the fp64 oracle in tests. tau must already
+    be clipped to the torque limit."""
     nc = make_config(cfg)
     q = np.ascontiguousarray(q, np.float64).copy()
     qd = np.ascontiguousarray(qd, np.float64).copy()
+    tgt = np.zeros(3) if tgt is None \
+        else np.ascontiguousarray(tgt, np.float64).copy()
     ee = np.zeros(3)
+    rew = np.zeros(1)
     r = lib().trpo_cpu_step(ctypes.byref(nc), q, qd,
-                            np.ascontiguousarray(tau, np.float64), ee)
+                            np.ascontiguousarray(tau, np.float64),
+                            tgt, task, ee, rew)
     assert r == 0
-    return q, qd, ee
+    return q, qd, ee, tgt, float(rew[0])
 
 
 def update(cfg, params_flat: np.ndarray, w: np.ndarray, batch):

@@ -1,4 +1,7 @@
-// Native CPU backend: planar n-link TRPO rollout + natural-gradient update.
+// Native CPU backend: full TRPO rollout + natural-gradient update for
+// every c1-c5 arm/cost variant (planar closed form; general 3-D
+// world-frame RNEA with gravity; obstacle penalty; track/push
+// multi-task goal families).
 //
 // Role (SURVEY.md section 3, "CPU compute implementation" row): the
 // reference stack pairs its accelerator kernels with a fast C CPU
@@ -73,6 +76,12 @@ struct Config {
   double obst_weight;
   double obst_radius;
   double obst_center[3];
+  // multi-task goal families (envs/arm.py: 0 = reach, 1 = track,
+  // 2 = push); n_tasks == 1 disables everything below
+  int32_t n_tasks;
+  double track_omega;
+  double push_speed;
+  double push_weight;
 };
 
 struct ParamView {
@@ -372,6 +381,20 @@ void dynamics_step3(const Config& c, double* q, double* qd,
   }
 }
 
+// EE velocity: sum_i qd_i * (axis_i x (ee - p_i)); axis_i = R_i z_hat
+void ee_velocity3(const Config& c, const double* R, const double* p,
+                  const double* qd, const double* ee, double* v) {
+  v[0] = v[1] = v[2] = 0.0;
+  for (int i = 0; i < c.n; ++i) {
+    double axis[3] = {R[i * 9 + 2], R[i * 9 + 5], R[i * 9 + 8]};
+    double r[3] = {ee[0] - p[i * 3], ee[1] - p[i * 3 + 1],
+                   ee[2] - p[i * 3 + 2]};
+    double cx[3];
+    v_cross(axis, r, cx);
+    for (int k = 0; k < 3; ++k) v[k] += qd[i] * cx[k];
+  }
+}
+
 // smooth sphere penalty over joint origins [1:] + EE (envs/arm.py)
 double obstacle_pen(const Config& c, const double* p, const double* ee) {
   double pen = 0.0;
@@ -521,7 +544,9 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
   std::normal_distribution<double> norm(0.0, 1.0);
 
   int n = c.n, N = c.n_envs, T = c.horizon;
+  int K = c.n_tasks > 1 ? c.n_tasks : 1;
   std::vector<double> q((size_t)N * n), qd((size_t)N * n), tgt((size_t)N * 3);
+  std::vector<int> task(N, 0);
   for (int e = 0; e < N; ++e) {
     for (int i = 0; i < n; ++i) {
       q[e * n + i] = c.q0_noise * unif(rng);
@@ -541,6 +566,10 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
       tgt[e * 3 + 0] = r * u[0] / nu;
       tgt[e * 3 + 1] = r * u[1] / nu;
       tgt[e * 3 + 2] = r * std::abs(u[2]) / nu;
+    }
+    if (K > 1) {
+      int tk = (int)(unif01(rng) * K);
+      task[e] = tk >= K ? K - 1 : tk;
     }
   }
 
@@ -568,6 +597,9 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
       }
       for (int k = 0; k < 3; ++k)
         obs_row[3 * n + k] = tgt[e * 3 + k] - ee[k];
+      if (K > 1)
+        for (int k = 0; k < K; ++k)
+          obs_row[3 * n + 3 + k] = (task[e] == k) ? 1.0 : 0.0;
       mlp_forward(c, p, obs_row.data(), 1, h0.data(), h1v.data(),
                   mu.data());
       for (int i = 0; i < n; ++i) {
@@ -589,36 +621,90 @@ int trpo_cpu_rollout(const Config* cp, const double* params_flat,
         std::memcpy(ee, ee3, sizeof(ee));
         if (c.obst_weight > 0.0) pen = obstacle_pen(c, p3, ee3);
       }
-      double d2 = 0.0;
+      // track family: the target orbits world z BEFORE being scored
+      // (persisted; mirrors envs/arm.py:step and the oracle)
+      if (K > 1 && task[e] == 1) {
+        double co = std::cos(c.track_omega * c.dt);
+        double so = std::sin(c.track_omega * c.dt);
+        double tx = co * tgt[e * 3] - so * tgt[e * 3 + 1];
+        double ty = so * tgt[e * 3] + co * tgt[e * 3 + 1];
+        tgt[e * 3] = tx;
+        tgt[e * 3 + 1] = ty;
+      }
+      double d[3], d2 = 0.0;
       for (int k = 0; k < 3; ++k) {
-        double d = ee[k] - tgt[e * 3 + k];
-        d2 += d * d;
+        d[k] = ee[k] - tgt[e * 3 + k];
+        d2 += d[k] * d[k];
       }
       double ctrl = 0.0;
       for (int i = 0; i < n; ++i) ctrl += tau[i] * tau[i];
-      rew_out[(size_t)e * T + t] =
-          -(d2 + c.ctrl_weight * ctrl + c.obst_weight * pen);
+      double rew = -(d2 + c.ctrl_weight * ctrl + c.obst_weight * pen);
+      if (K > 1 && task[e] == 2) {
+        // push family: EE velocity should match push_speed * dir(to tgt)
+        double v[3];
+        ee_velocity3(c, R3, p3, qde, ee, v);
+        double dn = std::sqrt(d2) + 1e-6;
+        double verr2 = 0.0;
+        for (int k = 0; k < 3; ++k) {
+          double ve = v[k] - c.push_speed * (-d[k] / dn);
+          verr2 += ve * ve;
+        }
+        rew -= c.push_weight * verr2;
+      }
+      rew_out[(size_t)e * T + t] = rew;
     }
   }
   return 0;
 }
 
-// Single dynamics step + post-step EE position, exposed so tests can
-// pin the native integrator against oracle/dynamics.py:ArmModel.step
-// at fp64 tolerance. q/qd updated in place.
+// Single env step: dynamics + post-step EE + full reward (all cost
+// variants), exposed so tests can pin the native integrator AND reward
+// against the fp64 oracle (oracle/trpo.py:OracleEnv.step). q/qd/tgt
+// updated in place (tgt rotates for the track family); tau is the
+// ALREADY-CLIPPED torque.
 int trpo_cpu_step(const Config* cp, double* q, double* qd,
-                  const double* tau, double* ee_out) {
+                  const double* tau, double* tgt, int32_t task,
+                  double* ee_out, double* rew_out) {
   const Config& c = *cp;
+  double R[72], p[24];
+  double pen = 0.0;
   if (c.planar) {
     double px[8], py[8], cx[8], cy[8], eex, eey;
     dynamics_step(c, q, qd, tau);
     fk(c, q, px, py, cx, cy, eex, eey);
     ee_out[0] = eex; ee_out[1] = eey; ee_out[2] = 0.0;
   } else {
-    double R[72], p[24];
     dynamics_step3(c, q, qd, tau);
     fk3(c, q, R, p, ee_out);
+    if (c.obst_weight > 0.0) pen = obstacle_pen(c, p, ee_out);
   }
+  if (c.n_tasks > 1 && task == 1) {
+    double co = std::cos(c.track_omega * c.dt);
+    double so = std::sin(c.track_omega * c.dt);
+    double tx = co * tgt[0] - so * tgt[1];
+    double ty = so * tgt[0] + co * tgt[1];
+    tgt[0] = tx;
+    tgt[1] = ty;
+  }
+  double d[3], d2 = 0.0, ctrl = 0.0;
+  for (int k = 0; k < 3; ++k) {
+    d[k] = ee_out[k] - tgt[k];
+    d2 += d[k] * d[k];
+  }
+  for (int i = 0; i < c.n; ++i) ctrl += tau[i] * tau[i];
+  double rew = -(d2 + c.ctrl_weight * ctrl + c.obst_weight * pen);
+  if (c.n_tasks > 1 && task == 2 && !c.planar) {
+    double v[3];
+    ee_velocity3(c, R, p, qd, ee_out, v);
+    double dn = std::sqrt(d2) + 1e-6;
+    double verr2 = 0.0;
+    for (int k = 0; k < 3; ++k) {
+      double ve = v[k] - c.push_speed * (-d[k] / dn);
+      verr2 += ve * ve;
+    }
+    rew -= c.push_weight * verr2;
+  }
+  *rew_out = rew;
   return 0;
 }
 

@@ -16,7 +16,9 @@ import native
 from oracle import net as onet
 from oracle.dynamics import ArmModel
 from oracle.trpo import OracleEnv, collect_rollouts, trpo_update
-from trpo_robot_control_tpu.configs import C3_FRANKA7, C4_FRANKA7_OBSTACLE
+from trpo_robot_control_tpu.configs import (C3_FRANKA7,
+                                            C4_FRANKA7_OBSTACLE,
+                                            C5_MULTITASK)
 
 CFG = C3_FRANKA7.replace(n_envs=12, horizon=20)
 
@@ -30,7 +32,7 @@ def test_native_step_matches_oracle_3d():
         qd = rng.uniform(-2.0, 2.0, n)
         tau = rng.uniform(-3.0, 3.0, n)
         q_o, qd_o = model.step(q.copy(), qd.copy(), tau)
-        q_n, qd_n, ee_n = native.step(CFG, q, qd, tau)
+        q_n, qd_n, ee_n, _, _ = native.step(CFG, q, qd, tau)
         np.testing.assert_allclose(q_n, q_o, rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(qd_n, qd_o, rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(ee_n, model.ee_pos(q_o),
@@ -108,3 +110,52 @@ def test_native_training_3d_stable():
     assert np.all(np.isfinite(flat))
     # returns stay in a sane band (no divergence/blow-up)
     assert max(rets) - min(rets) < 5.0, rets
+
+
+def test_native_step_reward_matches_oracle_all_variants():
+    """The native step's REWARD (obstacle + track/push families) must
+    reproduce oracle/trpo.py:OracleEnv.step in fp64: replay shared
+    states/actions through both for c4 (obstacle) and c5 (multitask)."""
+    for cfg in (C4_FRANKA7_OBSTACLE.replace(n_envs=6, horizon=8),
+                C5_MULTITASK.replace(n_envs=9, horizon=8)):
+        rng = np.random.RandomState(3)
+        env = OracleEnv(cfg)
+        n = cfg.arm.n_joints
+        N, T = cfg.n_envs, cfg.horizon
+        q, qd, tgt = env.reset(rng, N)
+        tasks = env.task if cfg.n_tasks > 1 else np.zeros(N, int)
+        for t in range(T):
+            a = 2.0 * rng.standard_normal((N, n))
+            tau = np.clip(a, -cfg.arm.torque_limit, cfg.arm.torque_limit)
+            q2o, qd2o, tgt2o, rew_o = env.step(q, qd, tgt, a)
+            for e in range(N):
+                q2n, qd2n, ee_n, tgt2n, rew_n = native.step(
+                    cfg, q[e], qd[e], tau[e], tgt=tgt[e],
+                    task=int(tasks[e]))
+                np.testing.assert_allclose(q2n, q2o[e], rtol=1e-10,
+                                           atol=1e-12)
+                np.testing.assert_allclose(tgt2n, tgt2o[e], rtol=1e-12,
+                                           atol=1e-15)
+                np.testing.assert_allclose(rew_n, rew_o[e], rtol=1e-9,
+                                           atol=1e-11)
+            q, qd, tgt = q2o, qd2o, tgt2o
+
+
+def test_native_rollout_multitask():
+    """Native c5-small rollout: one-hot task channels present and
+    consistent, rewards finite/deterministic."""
+    cfg = C5_MULTITASK.replace(n_envs=12, horizon=10)
+    rng = np.random.RandomState(2)
+    params = onet.init_params(rng, cfg.obs_dim, cfg.arm.n_joints,
+                              cfg.trpo.hidden, cfg.trpo.logstd_init)
+    flat = onet.flatten(params)
+    batch = native.rollout(cfg, flat, seed=5)
+    assert batch["obs"].shape[-1] == cfg.obs_dim
+    oh = batch["obs"][..., -cfg.n_tasks:]
+    # exactly one active task channel per sample, constant over time
+    np.testing.assert_allclose(oh.sum(-1), 1.0)
+    assert (oh == oh[:, :1, :]).all()
+    assert set(np.argmax(oh[:, 0], -1)) >= {0, 1}   # multiple families
+    assert np.isfinite(batch["rewards"]).all()
+    batch2 = native.rollout(cfg, flat, seed=5)
+    np.testing.assert_array_equal(batch["obs"], batch2["obs"])
