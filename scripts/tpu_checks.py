@@ -40,6 +40,23 @@ def check(name, ok, detail=""):
 
 
 def main():
+    # the tunnelled backend can HANG inside a C call (not error) when
+    # down — a signal/alarm cannot unwind that, so probe device
+    # availability in a KILLABLE child first and only then touch jax in
+    # this process
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].device_kind)"],
+            capture_output=True, text=True, timeout=180)
+    except subprocess.TimeoutExpired:
+        print("TPU backend probe timed out — skipping (exit 3)")
+        sys.exit(3)
+    if probe.returncode != 0 or "TPU" not in probe.stdout:
+        print(f"no usable TPU backend ({probe.stdout.strip()[:120]} / "
+              f"{probe.stderr.strip()[-200:]}) — skipping (exit 3)")
+        sys.exit(3)
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}")
     if "TPU" not in dev.device_kind:
