@@ -174,10 +174,16 @@ def main():
         per_config = {}
         meta = {}
         for name in CONFIGS:
-            r = subprocess.run(
-                [sys.executable, here, "--config", name,
-                 "--reps", str(args.reps)],
-                cwd=os.path.dirname(here), capture_output=True, text=True)
+            try:
+                r = subprocess.run(
+                    [sys.executable, here, "--config", name,
+                     "--reps", str(args.reps)],
+                    cwd=os.path.dirname(here), capture_output=True,
+                    text=True, timeout=3600)
+            except subprocess.TimeoutExpired:
+                print(f"# {name}: FAILED (timeout — backend hang?)",
+                      file=sys.stderr, flush=True)
+                continue
             if r.returncode != 0:
                 print(f"# {name}: FAILED\n{r.stderr[-2000:]}",
                       file=sys.stderr, flush=True)
@@ -201,6 +207,23 @@ def main():
             else next(iter(per_config))
         head = per_config[head_name]
     else:
+        # the tunnelled TPU backend can HANG (not error) when down;
+        # probe it in a killable child so a dead tunnel produces a fast
+        # clean failure instead of consuming the caller's whole budget
+        import subprocess
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=240)
+        except subprocess.TimeoutExpired:
+            print("ERROR: jax backend probe timed out (TPU tunnel "
+                  "down?)", file=sys.stderr)
+            return 2
+        if probe.returncode != 0:
+            print("ERROR: jax backend init failed:\n"
+                  + probe.stderr[-500:], file=sys.stderr)
+            return 2
+
         import jax
 
         from trpo_robot_control_tpu.configs import CONFIGS
