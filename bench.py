@@ -68,7 +68,24 @@ def _fetch(x):
     return float(np.asarray(x).ravel()[-1])
 
 
-def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3):
+def _provenance():
+    """Commit + timestamp stamps for every bench block (staleness
+    guard: a carried-forward table is identifiable as such)."""
+    import subprocess
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return dict(commit=commit or "unknown",
+                timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                        time.gmtime()))
+
+
+def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3,
+                 ab=False):
     """Slope-timed updates/s + rollout steps/s for one config."""
     import jax
 
@@ -87,27 +104,36 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3):
     state = init_state(cfg, seed=0)
     many_lo = make_train_many(cfg, n_lo, mesh=mesh)
     many_hi = make_train_many(cfg, n_hi, mesh=mesh)
+    # --ab: a second, separately-jitted but mathematically identical
+    # chain; alternating A/B reps shows whether the variance band is
+    # chip/tunnel state (A and B span the same band) or code.
+    chains = [many_hi]
+    if ab:
+        chains.append(make_train_many(cfg, n_hi, mesh=mesh))
 
     t0 = time.perf_counter()
     state, stats = many_lo(state)           # train steps donate state;
     _fetch(stats["mean_return"])            # chain it through every call
-    state, stats = many_hi(state)
-    _fetch(stats["mean_return"])
+    for c in chains:
+        state, stats = c(state)
+        _fetch(stats["mean_return"])
     compile_s = time.perf_counter() - t0
 
-    slopes = []
+    slopes = [[] for _ in chains]
     last_return = None
     for _ in range(reps):
-        t0 = time.perf_counter()
-        state, stats = many_lo(state)
-        _fetch(stats["mean_return"])
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        state, stats = many_hi(state)
-        last_return = _fetch(stats["mean_return"])
-        t_hi = time.perf_counter() - t0
-        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
-    s_best, s_worst = min(slopes), max(slopes)
+        for ci, chain in enumerate(chains):
+            t0 = time.perf_counter()
+            state, stats = many_lo(state)
+            _fetch(stats["mean_return"])
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state, stats = chain(state)
+            last_return = _fetch(stats["mean_return"])
+            t_hi = time.perf_counter() - t0
+            slopes[ci].append((t_hi - t_lo) / (n_hi - n_lo))
+    flat = [s for series in slopes for s in series]
+    s_best, s_worst = min(flat), max(flat)
 
     # --- rollout-only steps/s/chip, same slope method
     rollout_fn = arm.make_rollout_fn(cfg)
@@ -133,15 +159,21 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3):
     roll_s = max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-6)
     env_steps = cfg.n_envs * cfg.horizon
 
-    return dict(
+    out = dict(
         updates_per_s=1.0 / s_best,
         updates_per_s_band=[1.0 / s_worst, 1.0 / s_best],
         per_update_ms=1e3 * s_best,
+        # raw per-rep slopes (s/update) — the evidence behind the band
+        slopes_raw_s=[round(s, 6) for s in slopes[0]],
         rollout_steps_per_s_per_chip=env_steps / roll_s / max(n_dev, 1),
         env_steps_per_update=env_steps,
         compile_s=compile_s,
         final_return=last_return,
+        **_provenance(),
     )
+    if ab:
+        out["slopes_raw_s_ab"] = [round(s, 6) for s in slopes[1]]
+    return out
 
 
 def main():
@@ -150,6 +182,9 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="bench every config c1-c5")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ab", action="store_true",
+                    help="interleave a second identical-code jitted "
+                         "chain to document chip-state variance")
     ap.add_argument("--measure-oracle", action="store_true")
     args = ap.parse_args()
 
@@ -177,7 +212,8 @@ def main():
             try:
                 r = subprocess.run(
                     [sys.executable, here, "--config", name,
-                     "--reps", str(args.reps)],
+                     "--reps", str(args.reps)]
+                    + (["--ab"] if args.ab else []),
                     cwd=os.path.dirname(here), capture_output=True,
                     text=True, timeout=3600)
             except subprocess.TimeoutExpired:
@@ -208,21 +244,39 @@ def main():
         head = per_config[head_name]
     else:
         # the tunnelled TPU backend can HANG (not error) when down;
-        # probe it in a killable child so a dead tunnel produces a fast
-        # clean failure instead of consuming the caller's whole budget
+        # probe it in a killable child so a dead tunnel produces a
+        # clean failure instead of consuming the caller's whole budget.
+        # The backend self-recovers from crashes in ~1 min and an outage
+        # may end at any point during the run window, so RETRY: short
+        # probes every ~60 s for up to ~12 min before declaring rc=2
+        # (round-2 lost its driver-captured number to a single-probe
+        # timeout during a transient outage).
         import subprocess
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=240)
-        except subprocess.TimeoutExpired:
-            print("ERROR: jax backend probe timed out (TPU tunnel "
-                  "down?)", file=sys.stderr)
-            return 2
-        if probe.returncode != 0:
-            print("ERROR: jax backend init failed:\n"
-                  + probe.stderr[-500:], file=sys.stderr)
-            return 2
+        deadline = time.monotonic() + 720
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, text=True, timeout=90)
+                if probe.returncode == 0:
+                    break
+                err = ("probe exited rc=%d:\n" % probe.returncode
+                       + probe.stderr[-500:])
+            except subprocess.TimeoutExpired:
+                err = "probe timed out after 90 s (TPU tunnel down?)"
+            remaining = deadline - time.monotonic()
+            print(f"# backend probe attempt {attempt} failed: {err}",
+                  file=sys.stderr, flush=True)
+            if remaining <= 0:
+                print("ERROR: jax backend unreachable after "
+                      f"{attempt} probe attempts over ~12 min",
+                      file=sys.stderr)
+                return 2
+            print(f"# retrying in 60 s ({remaining:.0f} s left)",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(60, max(remaining, 1)))
 
         import jax
 
@@ -233,7 +287,7 @@ def main():
         mesh = make_mesh() if n_dev > 1 else None
         head_name = args.config
         head = bench_config(CONFIGS[args.config], mesh, n_dev,
-                            reps=args.reps)
+                            reps=args.reps, ab=args.ab)
         per_config = {args.config: head}
         meta = dict(n_devices=n_dev,
                     device_kind=jax.devices()[0].device_kind)

@@ -67,13 +67,23 @@ class NativeConfig(ctypes.Structure):
 
 
 def build(force: bool = False) -> str:
-    """Build (or reuse) the shared library, keyed by a content hash of the
-    source: the library name embeds sha256(trpo_cpu.cpp)[:16], so a source
-    edit — or a stale binary from another machine (-march=native!) — can
-    never be loaded by mistake. The .so is never committed (.gitignore)."""
+    """Build (or reuse) the shared library, keyed by a content hash of
+    the source PLUS a host identifier: the build uses -march=native, so
+    a same-source .so copied from a different CPU must not be reused
+    (it could SIGILL). The .so is never committed (.gitignore)."""
     import hashlib
+    import platform
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256(f.read())
+    # -march=native specializes to this machine's ISA extensions; key on
+    # the CPU flags so a binary built elsewhere is never loaded here
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    h.update((platform.machine() + flags).encode())
+    digest = h.hexdigest()[:16]
     lib_path = os.path.join(_DIR, f"libtrpo_cpu.{digest}.so")
     if force or not os.path.exists(lib_path):
         subprocess.run(

@@ -135,6 +135,23 @@ def obstacle_penalty(cfg: ExperimentConfig, joint_pos, ee):
     return pen
 
 
+_degrade_warned: set = set()
+
+
+def _warn_degraded(reason: str) -> None:
+    """One-time warning when a requested fused Pallas rollout silently
+    falls back to the XLA scan path (the fallback is correct, but the
+    perf cliff and the dropped obs_ff/actions_ff keys — which disable
+    the feature-first update path — should be visible to the caller)."""
+    if reason in _degrade_warned:
+        return
+    _degrade_warned.add(reason)
+    import warnings
+    warnings.warn(
+        "fused Pallas rollout degraded to the XLA scan path: " + reason,
+        RuntimeWarning, stacklevel=3)
+
+
 def make_rollout_fn(cfg: ExperimentConfig):
     """Resolve the rollout implementation (static, at trace-graph build):
 
@@ -177,6 +194,8 @@ def make_rollout_fn(cfg: ExperimentConfig):
                 # no 128-multiple tile divides this env count; take the
                 # XLA scan path rather than fail the kernel's tiling
                 # assertion (any n_envs must work, not just powers of two)
+                _warn_degraded(
+                    f"n_envs={n} is not a multiple of tile {bb}")
                 return rollout(cfg, params, _policy.sample, key, n_envs=n)
             # explicit "pallas"/"pallas3d" on a CPU backend (tests, fake
             # meshes) runs the kernel in interpret mode; the on-chip PRNG
@@ -187,6 +206,9 @@ def make_rollout_fn(cfg: ExperimentConfig):
             eps = None
             if interp:
                 if cfg.done_dist > 0.0:
+                    _warn_degraded(
+                        "done_dist > 0 needs the on-chip PRNG, which "
+                        "has no CPU/interpret lowering")
                     return rollout(cfg, params, _policy.sample, key,
                                    n_envs=n)
                 k_eps, key = _jax.random.split(key)

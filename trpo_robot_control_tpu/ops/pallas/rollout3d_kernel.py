@@ -141,6 +141,10 @@ class Arm3DConsts(NamedTuple):
     qd0_noise: float = 0.0
     rmin: float = 0.0
     rmax: float = 0.0
+    # planar arms sample targets in the z=0 plane (envs/arm.py:reset);
+    # without this flag a planar arm routed here with done_dist > 0
+    # would resample unreachable off-plane targets after the first done
+    planar: bool = False
 
 
 def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
@@ -174,6 +178,7 @@ def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
         qd0_noise=float(spec.qd0_noise),
         rmin=float(spec.target_rmin_frac * spec.reach),
         rmax=float(spec.target_rmax_frac * spec.reach),
+        planar=bool(c.planar),
     )
 
 
@@ -459,18 +464,28 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
                 qdf = c.qd0_noise * (2.0 * _uniform_01(row) - 1.0)
                 q2[i] = jnp.where(done, qf, q2[i])
                 qd2[i] = jnp.where(done, qdf, qd2[i])
-            # fresh target: r * dir, dir ~ normalized 3-normal, z = |z|
-            g1 = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row))) \
-                * jnp.cos(_TWO_PI * _uniform_01(row))
-            bm = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row)))
-            ang = _TWO_PI * _uniform_01(row)
-            g2 = bm * jnp.cos(ang)
-            g3 = bm * jnp.sin(ang)
-            nrm = jnp.sqrt(g1 * g1 + g2 * g2 + g3 * g3) + 1e-12
             r = c.rmin + (c.rmax - c.rmin) * _uniform_01(row)
-            tgt2 = (jnp.where(done, r * g1 / nrm, tgt2[0]),
-                    jnp.where(done, r * g2 / nrm, tgt2[1]),
-                    jnp.where(done, r * jnp.abs(g3) / nrm, tgt2[2]))
+            if c.planar:
+                # planar arms: target in the z=0 plane, angle uniform
+                # (matches envs/arm.py:reset planar branch)
+                th = _TWO_PI * _uniform_01(row)
+                tx, ty, tz = r * jnp.cos(th), r * jnp.sin(th), \
+                    jnp.zeros_like(r)
+            else:
+                # fresh target: r * dir, dir ~ normalized 3-normal,
+                # z = |z| (upper hemisphere)
+                g1 = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row))) \
+                    * jnp.cos(_TWO_PI * _uniform_01(row))
+                bm = jnp.sqrt(-2.0 * jnp.log(_uniform_01(row)))
+                ang = _TWO_PI * _uniform_01(row)
+                g2 = bm * jnp.cos(ang)
+                g3 = bm * jnp.sin(ang)
+                nrm = jnp.sqrt(g1 * g1 + g2 * g2 + g3 * g3) + 1e-12
+                tx, ty, tz = r * g1 / nrm, r * g2 / nrm, \
+                    r * jnp.abs(g3) / nrm
+            tgt2 = (jnp.where(done, tx, tgt2[0]),
+                    jnp.where(done, ty, tgt2[1]),
+                    jnp.where(done, tz, tgt2[2]))
             if toh is not None:
                 # fresh task family ~ uniform {0..n_tasks-1}
                 u = _uniform_01(row) * c.n_tasks

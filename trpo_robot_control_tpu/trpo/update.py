@@ -139,6 +139,10 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # obs_f[::k] (t = 0 mod k for every env; the Fisher sum is order-
     # free), and only the small subsample gets relaid to (B/k, do).
     if ff and tr.fvp_subsample > 1:
+        assert obs_ff.shape[0] % tr.fvp_subsample == 0, (
+            "ff-path fvp_subsample matches obs_f[::k] only when "
+            "horizon %% fvp_subsample == 0; got T="
+            f"{obs_ff.shape[0]}, k={tr.fvp_subsample}")
         sub = obs_ff[::tr.fvp_subsample]
         obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do)
     else:
