@@ -70,3 +70,29 @@ def test_two_process_psum_equals_single_process(tmp_path):
     np.testing.assert_allclose(float(dist["mean_return"]),
                                float(stats["mean_return"]), rtol=1e-4)
     assert int(dist["accepted"]) == int(stats["accepted"])
+
+
+@pytest.mark.slow
+def test_absent_peer_surfaces_actionable_error():
+    """SURVEY.md section 7 failure-detection row: a multi-host job whose
+    peer never arrives must fail with a one-line actionable error naming
+    the layout within the bounded timeout — not hang until the scheduler
+    kills it. One process claims a 2-process layout; no peer is started."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env.update(JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+               JAX_NUM_PROCESSES="2", JAX_PROCESS_ID="0",
+               JAX_DIST_INIT_TIMEOUT="10")
+    code = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "sys.path.insert(0, '.')\n"
+        "from trpo_robot_control_tpu.parallel.mesh import init_distributed\n"
+        "init_distributed()\n")
+    p = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert p.returncode != 0
+    assert "multi-host barrier failed" in p.stderr, p.stderr[-2000:]
+    assert "process 0/2" in p.stderr, p.stderr[-2000:]
+    assert f"localhost:{port}" in p.stderr, p.stderr[-2000:]

@@ -48,20 +48,33 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def init_distributed():
+def init_distributed(timeout_s: Optional[int] = None):
     """Multi-host entry: call before any jax op on multi-host slices.
     No-op when single-process (SURVEY.md section 5.4).
 
     On TPU pods `jax.distributed.initialize()` autodetects everything;
     elsewhere (and in the 2-process CPU test, tests/test_distributed.py)
     the coordinator/process layout comes from JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES and JAX_PROCESS_ID."""
+    JAX_NUM_PROCESSES and JAX_PROCESS_ID.
+
+    Failure surfacing (SURVEY.md section 7 failure-detection row): the
+    startup barrier waits `timeout_s` seconds (JAX_DIST_INIT_TIMEOUT env
+    var, default 120 — jax's own default is a 5-minute silent hang),
+    then raises a one-line actionable RuntimeError naming the layout
+    instead of hanging until the scheduler kills the job."""
     import os
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS") \
         or os.environ.get("COORDINATOR_ADDRESS")
     if addr is None:
         return
-    kw = {"coordinator_address": addr}
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("JAX_DIST_INIT_TIMEOUT", "120"))
+    # jax's own deadline is pushed PAST ours: on a missed barrier its
+    # C++ coordination client LOG(FATAL)s the process with a cryptic
+    # "another task died" before any Python except fires, so a watchdog
+    # thread surfaces the actionable error first and exits cleanly.
+    kw = {"coordinator_address": addr,
+          "initialization_timeout": timeout_s + 60}
     if "JAX_NUM_PROCESSES" in os.environ:
         if "JAX_PROCESS_ID" not in os.environ:
             raise RuntimeError(
@@ -69,7 +82,28 @@ def init_distributed():
                 "both are required for an explicit process layout")
         kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(**kw)
+    n = kw.get("num_processes", "?")
+    pid = kw.get("process_id", "?")
+    msg = (f"multi-host barrier failed after {timeout_s}s: process "
+           f"{pid}/{n} could not sync at coordinator {addr} — a peer "
+           "process is missing, unreachable, or died before the barrier")
+
+    import sys
+    import threading
+    barrier_done = threading.Event()
+
+    def _watchdog():
+        if not barrier_done.wait(timeout_s):
+            print("ERROR: " + msg, file=sys.stderr, flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        jax.distributed.initialize(**kw)
+    except Exception as e:
+        raise RuntimeError(f"{msg} ({type(e).__name__}: {e})") from e
+    finally:
+        barrier_done.set()
 
 
 def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
