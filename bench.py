@@ -176,6 +176,125 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3,
     return out
 
 
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def dist_worker(out_path, devs_per_proc, envs_per_dev, reps):
+    """--dist worker: one process of the jax.distributed CPU layout.
+    Times the sharded step on the GLOBAL mesh; process 0 writes JSON."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devs_per_proc}"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from trpo_robot_control_tpu.configs import C1_REACHER2
+    from trpo_robot_control_tpu.parallel.mesh import (init_distributed,
+                                                      make_mesh)
+    from trpo_robot_control_tpu.trpo.train import (init_state,
+                                                   make_train_many)
+    init_distributed()
+    import numpy as np
+    n_dev = len(jax.devices())
+    cfg = C1_REACHER2.replace(n_envs=envs_per_dev * n_dev, horizon=50)
+    mesh = make_mesh(n_data=n_dev)
+    # CPU wall-clock is too noisy for lo/hi slope timing (GC pauses and
+    # the co-resident TPU host process produced negative slopes); for a
+    # weak-scaling RATIO, min-of-reps over one fixed-length chain is
+    # robust — per-dispatch overhead appears equally in numerator and
+    # denominator.
+    k_chain = 20
+    many = make_train_many(cfg, k_chain, mesh=mesh)
+    state = jax.tree.map(np.asarray, init_state(cfg, seed=0))
+    state, stats = many(state)          # compile + warm caches
+    _fetch(stats["mean_return"])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, stats = many(state)
+        _fetch(stats["mean_return"])
+        times.append(time.perf_counter() - t0)
+    if jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump(dict(updates_per_s=k_chain / min(times),
+                           chain_times_raw_s=[round(t, 4) for t in times],
+                           k_chain=k_chain,
+                           n_envs=cfg.n_envs, n_devices=n_dev,
+                           n_processes=jax.process_count()), f)
+    if jax.process_count() > 1:
+        jax.distributed.shutdown()
+
+
+def bench_dist(n_procs, total_devs=None, envs_per_dev=256, reps=5):
+    """Mechanism-level multi-process overhead on CPU (labelled non-TPU):
+    the SAME global mesh (total_devs fake devices) and the SAME total
+    env batch, run as 1 process vs split across n_procs processes
+    joined by jax.distributed. Ideal = equal updates/s; the deficit is
+    the pure cost of crossing the process boundary (the DCN leg:
+    gRPC-backed collectives instead of in-process ones). On one host
+    this is the only honest distributed measurement — true weak scaling
+    needs more hardware, and doubling total work on fixed cores just
+    measures the core count. This stages the BASELINE.md >=80%-linear
+    pathway for when real multi-host TPU hardware is available — the
+    launch recipe is identical (BASELINE.md 'Multi-host launch
+    recipe')."""
+    import subprocess
+    import tempfile
+    if total_devs is None:
+        total_devs = os.cpu_count() or 4
+    total_devs -= total_devs % n_procs
+    here = os.path.abspath(__file__)
+    results = {}
+    for procs in sorted({1, n_procs}):
+        devs_per_proc = total_devs // procs
+        outs = [os.path.join(tempfile.mkdtemp(), "dist.json")]
+        port = _free_port()
+        ps = []
+        for pid in range(procs):
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+            if procs > 1:
+                env.update(JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                           JAX_NUM_PROCESSES=str(procs),
+                           JAX_PROCESS_ID=str(pid),
+                           JAX_DIST_INIT_TIMEOUT="60")
+            ps.append(subprocess.Popen(
+                [sys.executable, here, "--dist-worker", outs[0],
+                 str(devs_per_proc), str(envs_per_dev), str(reps)],
+                cwd=os.path.dirname(here), env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                text=True))
+        for p in ps:
+            _, err = p.communicate(timeout=1800)
+            if p.returncode != 0:
+                print(f"# dist worker failed:\n{err[-2000:]}",
+                      file=sys.stderr)
+                return None
+        with open(outs[0]) as f:
+            results[procs] = json.load(f)
+        r = results[procs]
+        print(f"# dist {procs} proc(s): {r['updates_per_s']:.2f} "
+              f"updates/s over {r['n_devices']} fake devices, "
+              f"{r['n_envs']} envs", file=sys.stderr, flush=True)
+    eff = None
+    if n_procs in results and 1 in results and n_procs > 1:
+        # same global mesh + batch both times, so ideal = equal updates/s
+        eff = results[n_procs]["updates_per_s"] \
+            / results[1]["updates_per_s"]
+        print(f"# same-mesh efficiency 1 -> {n_procs} processes: "
+              f"{eff:.1%} (CPU mechanism-level, NOT a TPU number)",
+              file=sys.stderr, flush=True)
+    return dict(kind="cpu_mechanism_same_mesh_split",
+                total_devs=total_devs, envs_per_dev=envs_per_dev,
+                results={str(k): v for k, v in results.items()},
+                efficiency_vs_1proc=eff, **_provenance())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="c2_reacher3")
@@ -186,7 +305,39 @@ def main():
                     help="interleave a second identical-code jitted "
                          "chain to document chip-state variance")
     ap.add_argument("--measure-oracle", action="store_true")
+    ap.add_argument("--dist", type=int, default=0, metavar="N",
+                    help="measure N-process jax.distributed weak "
+                         "scaling on CPU (mechanism-level, non-TPU)")
+    ap.add_argument("--dist-worker", nargs=4, metavar=("OUT", "DEVS",
+                                                       "ENVS", "REPS"))
     args = ap.parse_args()
+
+    if args.dist_worker:
+        out, devs, envs, reps = args.dist_worker
+        dist_worker(out, int(devs), int(envs), int(reps))
+        return
+
+    if args.dist:
+        block = bench_dist(args.dist)
+        if block is None:
+            return 1
+        details_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_details.json")
+        try:
+            with open(details_path) as f:
+                details = json.load(f)
+        except (OSError, ValueError):
+            details = {}
+        details["dist"] = block
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=2)
+        print(json.dumps({
+            "metric": "same_mesh_split_efficiency_cpu_mechanism",
+            "value": round(block["efficiency_vs_1proc"], 4)
+            if block["efficiency_vs_1proc"] else None,
+            "unit": "ratio", "vs_baseline": None}))
+        return
 
     if args.measure_oracle:
         measure_oracle()
