@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from trpo_robot_control_tpu.configs import C3_FRANKA7
+from trpo_robot_control_tpu.configs import C2_REACHER3, C3_FRANKA7
 from trpo_robot_control_tpu.envs import arm
 from trpo_robot_control_tpu.models import policy
 from trpo_robot_control_tpu.trpo.train import init_state
@@ -48,6 +48,34 @@ def test_subsampled_direction_cosine():
     x8 = direction(cfg8)
     cos = x1 @ x8 / (np.linalg.norm(x1) * np.linalg.norm(x8))
     assert cos > 0.99, cos
+
+
+def test_c2_stride4_direction_cosine():
+    """c2 adopted fvp_subsample=4 in round 3 from a measured decision
+    (scripts/measure_c2_stride.py: min cosine 0.99956 over 3 seeds at
+    full scale, convergence A/B indistinguishable from exact). This pins
+    the bound at reduced scale so a regression in the stride path or the
+    c2 config is caught by CI."""
+    def c2(sub):
+        return C2_REACHER3.replace(
+            n_envs=256, horizon=40,
+            trpo=dataclasses.replace(C2_REACHER3.trpo, fvp_subsample=sub))
+
+    assert C2_REACHER3.trpo.fvp_subsample == 4  # the adopted decision
+    cfg1, cfg4 = c2(1), c2(4)
+    state = init_state(cfg1, seed=0)
+    batch = jax.jit(lambda p, k: arm.rollout(cfg1, p, policy.sample, k))(
+        state.params, jax.random.PRNGKey(3))
+
+    def direction(cfg):
+        _, _, st = jax.jit(lambda p, w, b: trpo_update(
+            cfg, p, w, b, return_directions=True))(
+                state.params, state.w, batch)
+        return np.asarray(st["x"], np.float64)
+
+    x1, x4 = direction(cfg1), direction(cfg4)
+    cos = x1 @ x4 / (np.linalg.norm(x1) * np.linalg.norm(x4))
+    assert cos > 0.995, cos
 
 
 @pytest.mark.slow

@@ -62,7 +62,12 @@ C2_REACHER3 = ExperimentConfig(
     name="c2_reacher3",
     arm=planar_arm(3),
     cost=CostSpec(ctrl_weight=0.01),
-    trpo=TRPOSpec(),
+    # fvp_subsample=4 adopted from a measured decision (round 3,
+    # scripts/measure_c2_stride.py): direction cosine vs exact stride-1
+    # min 0.99956 over 3 seeds, and a 40-iter full-scale convergence A/B
+    # indistinguishable from exact (final return -26.1 vs -25.7); stride
+    # 10 degrades convergence (-31.1). See docs/performance.md.
+    trpo=TRPOSpec(fvp_subsample=4),
     n_envs=1024, horizon=100, n_iters=200, seed=0,
 )
 
