@@ -25,8 +25,12 @@ def test_engine_matches_oracle_training_curve():
 
     # both must improve substantially from the initial return...
     assert e_final > o_first + 0.25 * (o_final - o_first)
-    # ...and land in the same neighbourhood (stochastic: different RNG)
+    # ...and land in the same neighbourhood (stochastic: different RNG).
+    # Band justified by a 6-seed sweep of this exact comparison (round 3):
+    # observed ratios 0.961-1.055; (0.85, 1.18) gives ~3x the observed
+    # spread yet fails a materially worse engine (the round-1 band
+    # 0.6-1.67 would not — VERDICT r2 weak #6).
     improvement_o = o_final - o_first
     improvement_e = e_final - o_first
     ratio = improvement_e / improvement_o
-    assert 0.6 < ratio < 1.67, (o_first, o_final, e_final, ratio)
+    assert 0.85 < ratio < 1.18, (o_first, o_final, e_final, ratio)

@@ -27,6 +27,60 @@ def test_features_ff_matches_features():
                                np.asarray(phi), rtol=1e-6, atol=1e-7)
 
 
+def test_normal_eq_ff_matches_phi_moments():
+    """The block-decomposed normal equations (phi never materialised)
+    equal phi^T phi / phi^T y up to fp32 reassociation."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    obs = jax.random.normal(k1, (8, 20, 9))
+    y = jax.random.normal(k2, (8, 20))
+    phi = np.asarray(baseline.features(obs, CFG.horizon))
+    F = phi.shape[-1]
+    phi_f = phi.reshape(-1, F).astype(np.float64)
+    A_ref = phi_f.T @ phi_f
+    b_ref = phi_f.T @ np.asarray(y, np.float64).reshape(-1)
+    A, b = baseline.normal_eq_ff(jnp.transpose(obs, (1, 2, 0)), y,
+                                 CFG.horizon)
+    np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_values_ff_matches_predict():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    obs = jax.random.normal(k1, (8, 20, 9))
+    w = jax.random.normal(k2, (baseline.n_features(9),))
+    v_ref = baseline.predict(w, baseline.features(obs, CFG.horizon))
+    v = baseline.values_ff(w, jnp.transpose(obs, (1, 2, 0)), CFG.horizon)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_surrogate_grad_ff_bf16_close():
+    """bf16-stored activations/cotangents (trpo.ff_store_dtype="bf16")
+    bound: the surrogate gradient stays within 0.999 cosine and ~1%
+    relative norm of the fp32-exact gradient."""
+    state = init_state(CFG, seed=0)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    T, N, do, da = 20, 64, CFG.obs_dim, CFG.arm.n_joints
+    obs_ff = jax.random.normal(k1, (T, do, N))
+    act_ff = 0.3 * jax.random.normal(k2, (T, da, N))
+    adv_ff = jax.random.normal(k3, (T, N))
+    g32, mu32, lp32 = policy.surrogate_grad_ff(state.params, obs_ff,
+                                               act_ff, adv_ff)
+    g16, mu16, lp16 = policy.surrogate_grad_ff(
+        state.params, obs_ff, act_ff, adv_ff, store_dtype=jnp.bfloat16)
+    v32, _ = ravel_pytree(g32)
+    v16, _ = ravel_pytree(g16)
+    v32, v16 = np.asarray(v32), np.asarray(v16)
+    cos = v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16))
+    assert cos > 0.999, cos
+    assert np.linalg.norm(v16 - v32) / np.linalg.norm(v32) < 0.02
+    # mu/logp_old feed the line search: same bound applies
+    assert jnp.max(jnp.abs(mu16 - mu32)) < 5e-3
+    assert jnp.max(jnp.abs(lp16 - lp32)) < 5e-2
+
+
 def test_update_with_obs_ff_matches_standard():
     state = init_state(CFG, seed=0)
     batch = jax.jit(lambda p, k: arm.rollout(CFG, p, policy.sample, k))(

@@ -131,6 +131,13 @@ class TRPOSpec:
     baseline_hidden: Tuple[int, ...] = (64,)
     baseline_lr: float = 1e-2
     baseline_epochs: int = 10
+    # Storage dtype for the surrogate-gradient pass's (T, h, N) hidden
+    # activations / cotangents on the feature-first path: "f32" (exact)
+    # or "bf16". The pass is HBM-bound on exactly these intermediates at
+    # c4/c5 scale; bf16 halves that traffic while every contraction
+    # still accumulates fp32. Gradient error is bounded by
+    # tests/test_ff_baseline.py::test_surrogate_grad_ff_bf16_close.
+    ff_store_dtype: str = "f32"
 
 
 @dataclass(frozen=True)

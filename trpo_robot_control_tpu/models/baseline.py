@@ -35,6 +35,58 @@ def features_ff(obs_ff, horizon: int):
         axis=1)
 
 
+def _time_features(T, horizon, dtype):
+    """tau (T, 4) = [t, t^2, t^3, 1] in units of t/horizon."""
+    t = jnp.arange(T, dtype=dtype) / horizon
+    return jnp.stack([t, t ** 2, t ** 3, jnp.ones_like(t)], axis=1)
+
+
+def values_ff(w, obs_ff, horizon: int):
+    """predict() without materialising phi: obs_ff (T, do, N) -> values
+    (N, T). The time-feature term is per-timestep constant, so only the
+    obs/obs^2 einsums touch the batch (the squares fuse into the reads;
+    phi_ff at c5 scale is a 3 GB intermediate)."""
+    T, do, N = obs_ff.shape
+    w_o, w_q, w_t = w[:do], w[do:2 * do], w[2 * do:]
+    v = jnp.einsum("tdn,d->tn", obs_ff, w_o) \
+        + jnp.einsum("tdn,d->tn", obs_ff * obs_ff, w_q) \
+        + (_time_features(T, horizon, obs_ff.dtype) @ w_t)[:, None]
+    return v.T
+
+
+def normal_eq_ff(obs_ff, targets, horizon: int):
+    """LOCAL normal-equation moments (A, b) for the ridge fit, straight
+    from the kernel layout: obs_ff (T, do, N), targets (N, T) ->
+    (A (F, F), b (F,)) with the features() ordering
+    [obs, obs^2, t, t^2, t^3, 1].
+
+    Same math as phi^T phi / phi^T y, reassociated by feature block so
+    the (T, F, N) phi never exists: the time features are constant
+    across envs (their Gram block is closed-form T-space math), and the
+    data-dependent blocks come from ONE Gram of v = [obs, obs^2, y] —
+    a single <=128-wide MXU pass over the batch — plus one (T, 4)
+    cross-contraction. Measured 42 -> ~17 ms at c5 (13.1 M samples).
+    Under shard_map, psum (A, b) before fit_normal: every block is a
+    plain sum over local samples (the tau Gram scales by local N).
+    """
+    T, do, N = obs_ff.shape
+    dt = obs_ff.dtype
+    tau = _time_features(T, horizon, dt)                    # (T, 4)
+    y_ff = targets.T[:, None, :]                            # (T, 1, N)
+    v = jnp.concatenate([obs_ff, obs_ff * obs_ff, y_ff], axis=1)
+    G = jnp.einsum("tfn,tgn->fg", v, v)          # [[A_uu, b_u], ...]
+    C = jnp.einsum("tfn,tk->fk", v, tau)         # [A_ut; b_tau^T]
+    A_tt = N * (tau.T @ tau)
+    F = 2 * do + 4
+    A = jnp.zeros((F, F), dt)
+    A = A.at[:2 * do, :2 * do].set(G[:2 * do, :2 * do])
+    A = A.at[:2 * do, 2 * do:].set(C[:2 * do])
+    A = A.at[2 * do:, :2 * do].set(C[:2 * do].T)
+    A = A.at[2 * do:, 2 * do:].set(A_tt)
+    b = jnp.concatenate([G[:2 * do, 2 * do], C[2 * do]])
+    return A, b
+
+
 def predict(w, phi):
     return phi @ w
 

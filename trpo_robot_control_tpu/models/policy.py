@@ -89,13 +89,21 @@ def entropy(logstd):
 # output cotangent at theta_old is closed-form: the importance ratio is
 # 1), summed over (t, n) — identical math, reassociated.
 
-def hidden_ff(params, obs_ff):
-    """obs_ff (T, do, N) -> all hidden activations [(T, h, N), ...]."""
+def hidden_ff(params, obs_ff, store_dtype=None):
+    """obs_ff (T, do, N) -> all hidden activations [(T, h, N), ...].
+
+    store_dtype=bfloat16 halves the HBM footprint of the (T, h, N)
+    intermediates — the surrogate-gradient pass is HBM-bound on exactly
+    these arrays (~56 ms at c5 fp32; see docs/performance.md). The
+    matmuls themselves stay fp32-accumulating (type promotion against
+    the fp32 weights); only the stored tanh outputs round to bf16."""
     hs = []
     h = obs_ff
     for i in range(n_layers(params) - 1):
         h = jnp.tanh(jnp.einsum("io,tin->ton", params[f"W{i}"], h)
                      + params[f"b{i}"][None, :, None])
+        if store_dtype is not None:
+            h = h.astype(store_dtype)
         hs.append(h)
     return hs
 
@@ -128,15 +136,22 @@ def kl_ff(mu_old_ff, logstd_old, mu_new_ff, logstd_new):
     return quad + const
 
 
-def surrogate_grad_ff(params, obs_ff, act_ff, adv_ff, hs=None):
+def surrogate_grad_ff(params, obs_ff, act_ff, adv_ff, hs=None,
+                      store_dtype=None):
     """Manual gradient of the surrogate at theta_old in (T, d, N)
     layout. Returns (g_tree, mu_ff, logp_old (T, N)). Matches
     jax.grad of the standard surrogate up to fp32 reassociation
-    (tests/test_ff_baseline.py)."""
+    (tests/test_ff_baseline.py).
+
+    store_dtype=bfloat16 rounds the stored (T, h, N) activations and
+    backprop cotangents to bf16 (the pass is HBM-bound on them); all
+    contractions still accumulate fp32 via type promotion against the
+    fp32 weights. Gradient error is bounded by
+    tests/test_ff_baseline.py::test_surrogate_grad_ff_bf16_close."""
     L = n_layers(params)
     T, do, N = obs_ff.shape
     B = T * N
-    hs = hs or hidden_ff(params, obs_ff)
+    hs = hs or hidden_ff(params, obs_ff, store_dtype=store_dtype)
     mu, logstd = dist_ff(params, obs_ff, hs=hs)
     inv_var = jnp.exp(-2.0 * logstd)
     z = (act_ff - mu) * jnp.exp(-logstd)[None, :, None]
@@ -151,10 +166,14 @@ def surrogate_grad_ff(params, obs_ff, act_ff, adv_ff, hs=None):
     ct = u
     for l in range(L - 1, 0, -1):
         h_in = hs[l - 1]
-        g[f"W{l}"] = jnp.einsum("tin,ton->io", h_in, ct)
-        g[f"b{l}"] = jnp.sum(ct, axis=(0, 2))
+        g[f"W{l}"] = jnp.einsum("tin,ton->io", h_in, ct,
+                                preferred_element_type=jnp.float32)
+        g[f"b{l}"] = jnp.sum(ct.astype(jnp.float32), axis=(0, 2))
         ct = jnp.einsum("io,ton->tin", params[f"W{l}"], ct) \
-            * (1.0 - h_in * h_in)
-    g["W0"] = jnp.einsum("tin,ton->io", obs_ff, ct)
-    g["b0"] = jnp.sum(ct, axis=(0, 2))
+            * (1.0 - h_in.astype(jnp.float32) * h_in)
+        if store_dtype is not None:
+            ct = ct.astype(store_dtype)
+    g["W0"] = jnp.einsum("tin,ton->io", obs_ff, ct,
+                         preferred_element_type=jnp.float32)
+    g["b0"] = jnp.sum(ct.astype(jnp.float32), axis=(0, 2))
     return g, mu, logp_old

@@ -54,11 +54,13 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # layout: XLA otherwise materialises a (F, B)-transposed phi through
     # a chunked while+DUS loop that costs more than the normal-equation
     # matmul itself (~3x measured at c4 scale). Same math, reassociated.
+    # Round 3: the ff pipeline further decomposes the normal equations
+    # by feature block (models/baseline.py:normal_eq_ff) so the (T,F,N)
+    # phi itself never exists — 42 -> ~17 ms at c5.
     mlp_baseline = tr.baseline == "mlp"
     obs_ff = batch.get("obs_ff") if not mlp_baseline else None
     if obs_ff is not None:
-        phi_ff = baseline.features_ff(obs_ff, cfg.horizon)  # (T, F, N)
-        values = jnp.einsum("tfn,f->nt", phi_ff, w)
+        values = baseline.values_ff(w, obs_ff, cfg.horizon)  # (N, T)
     else:
         phi = baseline.features(obs, cfg.horizon)
         values = baseline.predict_mlp(w, phi) if mlp_baseline \
@@ -73,10 +75,10 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     targets = adv_raw + values
 
     if obs_ff is not None:
-        F = phi_ff.shape[1]
-        A = _psum(jnp.einsum("tfn,tgn->fg", phi_ff, phi_ff), axis_name) \
-            + tr.baseline_reg * jnp.eye(F, dtype=phi_ff.dtype)
-        b_vec = _psum(jnp.einsum("tfn,nt->f", phi_ff, targets), axis_name)
+        A_loc, b_loc = baseline.normal_eq_ff(obs_ff, targets, cfg.horizon)
+        A = _psum(A_loc, axis_name) \
+            + tr.baseline_reg * jnp.eye(A_loc.shape[0], dtype=A_loc.dtype)
+        b_vec = _psum(b_loc, axis_name)
         w_new = baseline.fit_normal(A, b_vec)
     else:
         F = phi.shape[-1]
@@ -107,8 +109,9 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     if ff:
         act_ff = batch["actions_ff"]
         adv_ff = adv.T                              # (T, N)
+        store = jnp.bfloat16 if tr.ff_store_dtype == "bf16" else None
         g_tree, mu_old_ff, logp_old_ff = policy.surrogate_grad_ff(
-            params, obs_ff, act_ff, adv_ff)
+            params, obs_ff, act_ff, adv_ff, store_dtype=store)
         logstd_old = params["logstd"]
     else:
         mu_old, logstd_old = policy.dist(params, obs_f)
@@ -170,7 +173,9 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     def eval_fn(theta_c):
         p = unravel(theta_c)
         if ff:
-            mu, logstd = policy.dist_ff(p, obs_ff)
+            mu, logstd = policy.dist_ff(
+                p, obs_ff, hs=policy.hidden_ff(p, obs_ff,
+                                               store_dtype=store))
             logp = policy.log_prob_ff(mu, logstd, act_ff)
             surr = _pmean(jnp.mean(jnp.exp(logp - logp_old_ff) * adv_ff),
                           axis_name)
