@@ -455,7 +455,9 @@ def main():
         details["configs"] = per_config
     else:
         # a solo run keeps the last --all run's per-config table so the
-        # driver's end-of-round headline refresh doesn't erase it
+        # driver's end-of-round headline refresh doesn't erase it — and
+        # refreshes its own config's row (each block carries its own
+        # commit/timestamp provenance, so staleness is visible)
         try:
             with open(details_path) as f:
                 old = json.load(f)
@@ -463,6 +465,7 @@ def main():
                 details["configs"] = old["configs"]
         except (OSError, ValueError):
             pass
+        details.setdefault("configs", {})[head_name] = head
     with open(details_path, "w") as f:
         json.dump(details, f, indent=2)
 

@@ -318,6 +318,119 @@ def _chol_solve3(c: Arm3DConsts, M, rhs):
     return x
 
 
+def _rot_increment(cq, sq, dq):
+    """Advance (cos q, sin q) by a small integration step dq via
+    5th/4th-order polynomials + one first-order renormalisation.
+    |dq| <= qd_limit * dt / n_substeps (~0.2 rad) keeps truncation
+    ~1e-7, at fp32 rounding level; the kernel refreshes exact cos/sin
+    every few steps (outer loop), bounding composition drift at ~1e-6
+    rad. Replaces 2 transcendentals per joint per substep with ~19 fma:
+    scripts/probe_vpu.py measured in-kernel sin at ~64 ns/op vs fma at
+    2.6 ns on (1, B) blocks — the 3 FK trig evaluations per step were
+    ~35% of the whole fused rollout."""
+    dq2 = dq * dq
+    sd = dq * (1.0 - dq2 * (1.0 / 6.0 - dq2 * (1.0 / 120.0)))
+    cd = 1.0 - dq2 * (0.5 - dq2 * (1.0 / 24.0))
+    c2 = cq * cd - sq * sd
+    s2 = sq * cd + cq * sd
+    r = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
+    return c2 * r, s2 * r
+
+
+def _score_step(c: Arm3DConsts, qd, tgt, tau_l, cq2, sq2, task_oh):
+    """Post-step scoring shared by _step3 and _step3_fast: track-target
+    rotation, post-step FK, reach cost, push/obstacle terms (mirrors
+    envs/arm.py:step). Returns (tgt2, rew, dist2, fk2); fk2 is the
+    post-step FK products, which the fast path carries into the next
+    step as its pre-step FK."""
+    n = c.n
+    if task_oh is not None:
+        co = float(np.cos(c.track_omega * c.dt))
+        so = float(np.sin(c.track_omega * c.dt))
+        mask1 = task_oh[1]
+        tx = jnp.where(mask1 > 0.5, co * tgt[0] - so * tgt[1], tgt[0])
+        ty = jnp.where(mask1 > 0.5, so * tgt[0] + co * tgt[1], tgt[1])
+        tgt = (tx, ty, tgt[2])
+
+    R2, p2, axis2, ee2 = _fk3(c, cq2, sq2)
+    d = v_sub(ee2, tgt)
+    ctrl = None
+    for i in range(n):
+        t2 = tau_l[i] * tau_l[i]
+        ctrl = t2 if ctrl is None else ctrl + t2
+    rew = -(v_dot(d, d) + c.ctrl_weight * ctrl)
+
+    if task_oh is not None and c.n_tasks > 2:
+        # push task (family 2): EE velocity should match
+        # push_speed * dir(to target); v_ee = sum qd_i axis_i x (ee - p_i)
+        v_ee = (jnp.zeros_like(ee2[0]),) * 3
+        for i in range(n):
+            v_ee = v_add(v_ee, v_scale(
+                qd[i], v_cross(axis2[i], v_sub(ee2, p2[i]))))
+        dn = jnp.sqrt(v_dot(d, d)) + 1e-6
+        dirn = (-d[0] / dn, -d[1] / dn, -d[2] / dn)
+        verr = v_sub(v_ee, v_scale(c.push_speed * jnp.ones_like(dn), dirn))
+        rew = rew - jnp.where(task_oh[2] > 0.5,
+                              c.push_weight * v_dot(verr, verr), 0.0)
+
+    if c.obstacle_weight > 0.0:
+        oc = c.obstacle_center
+        pen = None
+        for pt in p2[1:] + [ee2]:
+            dx = pt[0] - oc[0]
+            dy = pt[1] - oc[1]
+            dz = pt[2] - oc[2]
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            term = jnp.maximum(c.obstacle_radius - dist, 0.0) ** 2
+            pen = term if pen is None else pen + term
+        rew = rew - c.obstacle_weight * pen
+    return tgt, rew, v_dot(d, d), (R2, p2, axis2, ee2)
+
+
+def _step3_fast(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps,
+                cq, sq, fk, task_oh=None):
+    """One 3-D env step with CARRIED trig + FK (non-terminating fast
+    path). Two structural savings over _step3, same math otherwise
+    (kernel == jnp twin tested at 1e-5):
+
+    1. The post-step FK that scores step t IS step t+1's pre-step FK —
+       computed once in _score_step and carried (FK chains per step:
+       n_substeps, was n_substeps + 1).
+    2. cos/sin advance by _rot_increment at each integration instead of
+       fresh transcendentals; the caller refreshes exact values every
+       few steps (trig per step: 0, was 14 x ~64 ns).
+    """
+    n = c.n
+    R, p, axis, ee = fk
+    q, cq, sq = list(q), list(cq), list(sq)
+    obs_rows = (cq + sq + [c.qd_obs_scale * x for x in qd]
+                + [tgt[0] - ee[0], tgt[1] - ee[1], tgt[2] - ee[2]])
+    if task_oh is not None:
+        obs_rows = obs_rows + list(task_oh)
+    obs = jnp.concatenate(obs_rows, axis=0)
+    mu = _policy_ff(Ws, bs, obs)
+    act = mu + sigma * eps
+    tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
+    tau_l = [tau[i:i + 1] for i in range(n)]
+
+    h = c.dt / c.n_substeps
+    for s in range(c.n_substeps):
+        if s > 0:
+            R, p, axis, ee = _fk3(c, cq, sq)
+        M, bias = _mass_bias_fused(c, R, p, axis, qd)
+        rhs = [tau_l[i] - bias[i] - c.damping * qd[i] for i in range(n)]
+        qdd = _chol_solve3(c, M, rhs)
+        qd = [jnp.clip(qd[i] + h * qdd[i], -c.qd_limit, c.qd_limit)
+              for i in range(n)]
+        for i in range(n):
+            dq = h * qd[i]
+            q[i] = q[i] + dq
+            cq[i], sq[i] = _rot_increment(cq[i], sq[i], dq)
+
+    tgt2, rew, _, fk2 = _score_step(c, qd, tgt, tau_l, cq, sq, task_oh)
+    return q, qd, tgt2, cq, sq, fk2, obs, act, rew
+
+
 def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
     """One 3-D env step on (1,B) components. q/qd lists of n; tgt vec3;
     task_oh: tuple of n_tasks (1,B) masks (multi-task) or None.
@@ -356,50 +469,10 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
               for i in range(n)]
         q = [q[i] + h * qd[i] for i in range(n)]
 
-    # track task (family 1): target orbits world z before being scored
-    if task_oh is not None:
-        co = float(np.cos(c.track_omega * c.dt))
-        so = float(np.sin(c.track_omega * c.dt))
-        mask1 = task_oh[1]
-        tx = jnp.where(mask1 > 0.5, co * tgt[0] - so * tgt[1], tgt[0])
-        ty = jnp.where(mask1 > 0.5, so * tgt[0] + co * tgt[1], tgt[1])
-        tgt = (tx, ty, tgt[2])
-
     cq2 = [jnp.cos(x) for x in q]
     sq2 = [jnp.sin(x) for x in q]
-    R2, p2, axis2, ee2 = _fk3(c, cq2, sq2)
-    d = v_sub(ee2, tgt)
-    ctrl = None
-    for i in range(n):
-        t2 = tau_l[i] * tau_l[i]
-        ctrl = t2 if ctrl is None else ctrl + t2
-    rew = -(v_dot(d, d) + c.ctrl_weight * ctrl)
-
-    if task_oh is not None and c.n_tasks > 2:
-        # push task (family 2): EE velocity should match
-        # push_speed * dir(to target); v_ee = sum qd_i axis_i x (ee - p_i)
-        v_ee = (jnp.zeros_like(ee2[0]),) * 3
-        for i in range(n):
-            v_ee = v_add(v_ee, v_scale(
-                qd[i], v_cross(axis2[i], v_sub(ee2, p2[i]))))
-        dn = jnp.sqrt(v_dot(d, d)) + 1e-6
-        dirn = (-d[0] / dn, -d[1] / dn, -d[2] / dn)
-        verr = v_sub(v_ee, v_scale(c.push_speed * jnp.ones_like(dn), dirn))
-        rew = rew - jnp.where(task_oh[2] > 0.5,
-                              c.push_weight * v_dot(verr, verr), 0.0)
-
-    if c.obstacle_weight > 0.0:
-        oc = c.obstacle_center
-        pen = None
-        for pt in p2[1:] + [ee2]:
-            dx = pt[0] - oc[0]
-            dy = pt[1] - oc[1]
-            dz = pt[2] - oc[2]
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            term = jnp.maximum(c.obstacle_radius - dist, 0.0) ** 2
-            pen = term if pen is None else pen + term
-        rew = rew - c.obstacle_weight * pen
-    return q, qd, tgt, obs, act, rew, v_dot(d, d)
+    tgt, rew, dist2, _ = _score_step(c, qd, tgt, tau_l, cq2, sq2, task_oh)
+    return q, qd, tgt, obs, act, rew, dist2
 
 
 def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
@@ -497,10 +570,52 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
                 return (q2, qd2, tgt2, toh)
         return (q2, qd2, tgt2)
 
-    if terminating and task_oh is not None:
-        jax.lax.fori_loop(0, T, body, (q, qd, tgt, task_oh))
-    else:
-        jax.lax.fori_loop(0, T, body, (q, qd, tgt))
+    if terminating:
+        # in-kernel resets re-randomise q, so carried trig/FK would be
+        # stale for reset lanes: the terminating path keeps the
+        # per-step exact-FK body (shipped c3-c5 are non-terminating)
+        if task_oh is not None:
+            jax.lax.fori_loop(0, T, body, (q, qd, tgt, task_oh))
+        else:
+            jax.lax.fori_loop(0, T, body, (q, qd, tgt))
+        return
+
+    # Fast path: nested loop. The outer level refreshes exact cos/sin +
+    # FK every K steps (bounds _rot_increment composition drift at
+    # ~1e-6 rad); the inner K steps carry trig + post-step FK across
+    # the step boundary (_step3_fast) — measured ~30% of the whole
+    # kernel at c3-c5 (FK trig + the third FK chain per step).
+    K = next(k for k in (8, 5, 4, 3, 2, 1) if T % k == 0)
+
+    def inner(j, st, t0):
+        q, qd, tgt, cq, sq, fk = st
+        t = t0 + j
+        if use_prng:
+            shape = (n, q[0].shape[-1])
+            u1 = _uniform_01(shape)
+            u2 = _uniform_01(shape)
+            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        else:
+            eps = eps_ref[t]
+        q, qd, tgt, cq, sq, fk, obs, act, rew = _step3_fast(
+            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, cq, sq,
+            fk, task_oh)
+        obs_out[t] = obs
+        act_out[t] = act
+        rew_out[t] = rew
+        return (q, qd, tgt, cq, sq, fk)
+
+    def outer(o, st):
+        q, qd, tgt = st
+        cq = [jnp.cos(x) for x in q]
+        sq = [jnp.sin(x) for x in q]
+        fk = _fk3(c, cq, sq)
+        t0 = o * K
+        st2 = jax.lax.fori_loop(0, K, lambda j, s: inner(j, s, t0),
+                                (q, qd, tgt, cq, sq, fk))
+        return st2[:3]
+
+    jax.lax.fori_loop(0, T // K, outer, (q, qd, tgt))
 
 
 def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
