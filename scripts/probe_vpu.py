@@ -83,7 +83,28 @@ def time_op(rows, bb, op, target_ops=2e7, reps=3):
     return 1e9 * best
 
 
+def sweep():
+    """Instruction-cost surface over (rows, width): decides how to lay
+    envs out in the fused rollout kernels. If the per-instruction cost
+    is ~flat from (1, B) to (8, B) (it is — round 3), then packing 8
+    env sub-blocks into the sublane dim makes every (1, B) channel op
+    carry 8x the envs for the same issue cost; this sweep maps where
+    that flatness ends (wider rows / wider lanes)."""
+    shapes = [(1, 512), (4, 512), (8, 512), (16, 512), (32, 512),
+              (64, 512), (1, 1024), (1, 2048), (1, 4096),
+              (8, 1024), (8, 2048), (8, 4096), (16, 2048)]
+    print("# fma ns/op over (rows, width); ps/elem in parens")
+    for rows, bb in shapes:
+        ns = time_op(rows, bb, "fma", target_ops=2e7)
+        per_elem = ns / (rows * bb)
+        print(f"fma    ({rows:2d},{bb:4d})  {ns:8.3f} ns/op "
+              f"({1e3 * per_elem:6.3f} ps/elem)", flush=True)
+
+
 def main():
+    if "--sweep" in sys.argv:
+        sweep()
+        return
     bb = int(os.environ.get("PROBE_BB", "512"))
     print(f"# block width B={bb}; ns/op, in-kernel fori_loop slope")
     for op in ("fma", "sin", "exp", "log", "rsqrt"):
