@@ -381,7 +381,7 @@ def main():
             per_config[name] = {
                 k: v for k, v in block.items()
                 if k not in ("config", "n_devices", "device_kind",
-                             "oracle_seconds_per_update")}
+                             "oracle_seconds_per_update", "configs")}
             print(f"# {name}: "
                   f"{per_config[name]['updates_per_s']:.1f} updates/s, "
                   f"{per_config[name]['rollout_steps_per_s_per_chip']:.3g}"
@@ -462,10 +462,15 @@ def main():
             with open(details_path) as f:
                 old = json.load(f)
             if "configs" in old:
-                details["configs"] = old["configs"]
+                # scrub any nested 'configs' keys (a pre-fix --all run
+                # recursively embedded the whole table in every block)
+                details["configs"] = {
+                    n: {k: v for k, v in blk.items() if k != "configs"}
+                    for n, blk in old["configs"].items()}
         except (OSError, ValueError):
             pass
-        details.setdefault("configs", {})[head_name] = head
+        details.setdefault("configs", {})[head_name] = {
+            k: v for k, v in head.items() if k != "configs"}
     with open(details_path, "w") as f:
         json.dump(details, f, indent=2)
 
