@@ -149,6 +149,17 @@ def main():
                                     act_ff.astype(jnp.bfloat16),
                                     adv_ff)))
 
+    # ---- CG-subsample relayout (part of the previously unattributed
+    # remainder: (T/k, do, N) -> (B/k, do) transpose + fp32 cast)
+    def sub_relayout(o_ff):
+        sub = o_ff[::tr.fvp_subsample if tr.fvp_subsample > 1 else 8]
+        return jnp.transpose(sub, (0, 2, 1)).reshape(-1, do) \
+            .astype(jnp.float32)
+
+    report("fvp_sub_relayout", _slope_time(sub_relayout, (obs_ff,)))
+    report("fvp_sub_relayout_bf16in",
+           _slope_time(sub_relayout, (obs_ff.astype(jnp.bfloat16),)))
+
     # ---- one line-search eval
     logstd = params["logstd"]
 

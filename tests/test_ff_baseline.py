@@ -81,6 +81,62 @@ def test_surrogate_grad_ff_bf16_close():
     assert jnp.max(jnp.abs(lp16 - lp32)) < 5e-2
 
 
+def test_normal_eq_ff_bf16_close():
+    """bf16 kernel-emitted obs_ff: the normal-equation moments stay
+    fp32-accumulated and close to the exact fp32 ones (the ridge +
+    eigh-floor fit absorbs ~0.3% moment noise)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    obs = jax.random.normal(k1, (8, 20, 9))
+    y = jax.random.normal(k2, (8, 20))
+    obs_ff = jnp.transpose(obs, (1, 2, 0))
+    A32, b32 = baseline.normal_eq_ff(obs_ff, y, CFG.horizon)
+    A16, b16 = baseline.normal_eq_ff(obs_ff.astype(jnp.bfloat16), y,
+                                     CFG.horizon)
+    assert A16.dtype == jnp.float32 and b16.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(A32)))
+    assert float(jnp.max(jnp.abs(A16 - A32))) / scale < 2e-2
+    scale_b = float(jnp.max(jnp.abs(b32))) + 1e-6
+    assert float(jnp.max(jnp.abs(b16 - b32))) / scale_b < 2e-2
+    v32 = baseline.values_ff(jnp.ones(baseline.n_features(9)), obs_ff,
+                             CFG.horizon)
+    v16 = baseline.values_ff(jnp.ones(baseline.n_features(9)),
+                             obs_ff.astype(jnp.bfloat16), CFG.horizon)
+    assert v16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(v16 - v32))) \
+        / (float(jnp.max(jnp.abs(v32))) + 1e-6) < 2e-2
+
+
+def test_update_with_bf16_ff_batch_close():
+    """A fully bf16-stored ff batch (kernel-emitted obs_ff/actions_ff +
+    bf16 hidden storage, i.e. trpo.ff_store_dtype="bf16") yields a step
+    direction within 0.99 cosine and a beta within 2% of the fp32 one."""
+    import dataclasses
+    state = init_state(CFG, seed=0)
+    batch = jax.jit(lambda p, k: arm.rollout(CFG, p, policy.sample, k))(
+        state.params, jax.random.PRNGKey(11))
+    batch_ff = dict(batch)
+    batch_ff["obs_ff"] = jnp.transpose(batch["obs"], (1, 2, 0))
+    batch_ff["actions_ff"] = jnp.transpose(batch["actions"], (1, 2, 0))
+    cfg16 = CFG.replace(trpo=dataclasses.replace(CFG.trpo,
+                                                 ff_store_dtype="bf16"))
+    _, _, st32 = jax.jit(lambda p, w, b: trpo_update(
+        CFG, p, w, b, return_directions=True))(state.params, state.w,
+                                               batch_ff)
+    batch16 = dict(batch_ff)
+    batch16["obs_ff"] = batch_ff["obs_ff"].astype(jnp.bfloat16)
+    batch16["actions_ff"] = batch_ff["actions_ff"].astype(jnp.bfloat16)
+    _, _, st16 = jax.jit(lambda p, w, b: trpo_update(
+        cfg16, p, w, b, return_directions=True))(state.params, state.w,
+                                                 batch16)
+    x32 = np.asarray(st32["x"], np.float64)
+    x16 = np.asarray(st16["x"], np.float64)
+    cos = x32 @ x16 / (np.linalg.norm(x32) * np.linalg.norm(x16))
+    assert cos > 0.99, cos
+    np.testing.assert_allclose(float(st16["beta"]), float(st32["beta"]),
+                               rtol=2e-2)
+    assert int(st16["accepted"]) == int(st32["accepted"])
+
+
 def test_update_with_obs_ff_matches_standard():
     state = init_state(CFG, seed=0)
     batch = jax.jit(lambda p, k: arm.rollout(CFG, p, policy.sample, k))(

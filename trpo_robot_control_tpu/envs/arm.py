@@ -214,8 +214,13 @@ def make_rollout_fn(cfg: ExperimentConfig):
                 k_eps, key = _jax.random.split(key)
                 eps = _jax.random.normal(
                     k_eps, (cfg.horizon, n, cfg.arm.n_joints))
+            # kernel-side bf16 emission of obs_ff/actions_ff feeds the
+            # feature-first update path its HBM-bound operands
+            # pre-rounded and halves the rollout's output writes
+            store = jnp.bfloat16 \
+                if cfg.trpo.ff_store_dtype == "bf16" else None
             return pr(cfg, params, key, n_envs=n, block_b=bb,
-                      interpret=interp, eps=eps)
+                      interpret=interp, eps=eps, store_dtype=store)
 
         return fn
     return lambda params, key, n_envs=None: rollout(

@@ -45,12 +45,20 @@ def values_ff(w, obs_ff, horizon: int):
     """predict() without materialising phi: obs_ff (T, do, N) -> values
     (N, T). The time-feature term is per-timestep constant, so only the
     obs/obs^2 einsums touch the batch (the squares fuse into the reads;
-    phi_ff at c5 scale is a 3 GB intermediate)."""
+    phi_ff at c5 scale is a 3 GB intermediate).
+
+    obs_ff may be bf16 (kernel-emitted storage, trpo.ff_store_dtype);
+    every contraction accumulates fp32 and the time features are always
+    fp32 (t^3 in bf16 would lose the fit's conditioning)."""
     T, do, N = obs_ff.shape
     w_o, w_q, w_t = w[:do], w[do:2 * do], w[2 * do:]
-    v = jnp.einsum("tdn,d->tn", obs_ff, w_o) \
-        + jnp.einsum("tdn,d->tn", obs_ff * obs_ff, w_q) \
-        + (_time_features(T, horizon, obs_ff.dtype) @ w_t)[:, None]
+    f32 = jnp.float32
+    v = jnp.einsum("tdn,d->tn", obs_ff, w_o.astype(obs_ff.dtype),
+                   preferred_element_type=f32) \
+        + jnp.einsum("tdn,d->tn", obs_ff * obs_ff,
+                     w_q.astype(obs_ff.dtype),
+                     preferred_element_type=f32) \
+        + (_time_features(T, horizon, f32) @ w_t)[:, None]
     return v.T
 
 
@@ -68,17 +76,28 @@ def normal_eq_ff(obs_ff, targets, horizon: int):
     cross-contraction. Measured 42 -> ~17 ms at c5 (13.1 M samples).
     Under shard_map, psum (A, b) before fit_normal: every block is a
     plain sum over local samples (the tau Gram scales by local N).
+
+    obs_ff may be bf16 (trpo.ff_store_dtype): the Gram then reads bf16
+    operands (MXU-native; targets join v in the storage dtype to keep
+    the ONE-pass structure) while A, b, and every contraction
+    accumulate fp32, and the time-feature blocks are exact fp32 (their
+    conditioning drives fit_normal's eigh floor). The bf16 rounding of
+    y adds ~0.2% unbiased per-sample noise to a 13M-sample average —
+    bounded end-to-end by the c4-scale convergence A/B
+    (docs/performance.md).
     """
     T, do, N = obs_ff.shape
     dt = obs_ff.dtype
-    tau = _time_features(T, horizon, dt)                    # (T, 4)
-    y_ff = targets.T[:, None, :]                            # (T, 1, N)
+    f32 = jnp.float32
+    tau = _time_features(T, horizon, f32)                   # (T, 4)
+    y_ff = targets.T[:, None, :].astype(dt)                 # (T, 1, N)
     v = jnp.concatenate([obs_ff, obs_ff * obs_ff, y_ff], axis=1)
-    G = jnp.einsum("tfn,tgn->fg", v, v)          # [[A_uu, b_u], ...]
-    C = jnp.einsum("tfn,tk->fk", v, tau)         # [A_ut; b_tau^T]
+    G = jnp.einsum("tfn,tgn->fg", v, v,
+                   preferred_element_type=f32)   # [[A_uu, b_u], ...]
+    C = jnp.einsum("tfn,tk->fk", v.astype(f32), tau)  # [A_ut; b_tau^T]
     A_tt = N * (tau.T @ tau)
     F = 2 * do + 4
-    A = jnp.zeros((F, F), dt)
+    A = jnp.zeros((F, F), f32)
     A = A.at[:2 * do, :2 * do].set(G[:2 * do, :2 * do])
     A = A.at[:2 * do, 2 * do:].set(C[:2 * do])
     A = A.at[2 * do:, :2 * do].set(C[:2 * do].T)

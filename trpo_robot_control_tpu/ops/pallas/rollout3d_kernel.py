@@ -33,7 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...configs.base import ExperimentConfig
 from ...envs.rigid_body import ArmConstants
-from .rollout_kernel import _policy_ff, _uniform_01
+from .rollout_kernel import (_normals, _policy_ff, _policy_ff_pack2,
+                             _uniform_01, out_vma, pack2_ok,
+                             pack2_weights)
 
 _TWO_PI = 2.0 * np.pi
 
@@ -387,7 +389,7 @@ def _score_step(c: Arm3DConsts, qd, tgt, tau_l, cq2, sq2, task_oh):
     return tgt, rew, v_dot(d, d), (R2, p2, axis2, ee2)
 
 
-def _step3_fast(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps,
+def _step3_fast(c: Arm3DConsts, mlp, sigma, q, qd, tgt, eps,
                 cq, sq, fk, task_oh=None):
     """One 3-D env step with CARRIED trig + FK (non-terminating fast
     path). Two structural savings over _step3, same math otherwise
@@ -408,7 +410,7 @@ def _step3_fast(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps,
     if task_oh is not None:
         obs_rows = obs_rows + list(task_oh)
     obs = jnp.concatenate(obs_rows, axis=0)
-    mu = _policy_ff(Ws, bs, obs)
+    mu = mlp(obs)
     act = mu + sigma * eps
     tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
     tau_l = [tau[i:i + 1] for i in range(n)]
@@ -431,7 +433,7 @@ def _step3_fast(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps,
     return q, qd, tgt2, cq, sq, fk2, obs, act, rew
 
 
-def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
+def _step3(c: Arm3DConsts, mlp, sigma, q, qd, tgt, eps, task_oh=None):
     """One 3-D env step on (1,B) components. q/qd lists of n; tgt vec3;
     task_oh: tuple of n_tasks (1,B) masks (multi-task) or None.
     Returns (q2, qd2, tgt2, obs (do,B), act (n,B), rew (1,B)).
@@ -450,7 +452,7 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
     if task_oh is not None:
         obs_rows = obs_rows + list(task_oh)
     obs = jnp.concatenate(obs_rows, axis=0)
-    mu = _policy_ff(Ws, bs, obs)
+    mu = mlp(obs)
     act = mu + sigma * eps
     tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
     tau_l = [tau[i:i + 1] for i in range(n)]
@@ -476,7 +478,7 @@ def _step3(c: Arm3DConsts, Ws, bs, sigma, q, qd, tgt, eps, task_oh=None):
 
 
 def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
-                      terminating, *refs):
+                      terminating, pack2, *refs):
     it = iter(refs)
     q0_ref = next(it)
     qd0_ref = next(it)
@@ -506,6 +508,10 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
         task_ref[i:i + 1, :] for i in range(c.n_tasks))
     W_blocks = [w[:] for w in Ws]
     b_blocks = [b[:] for b in bs]
+    if pack2:
+        mlp = lambda o: _policy_ff_pack2(W_blocks, b_blocks, o, n)
+    else:
+        mlp = lambda o: _policy_ff(W_blocks, b_blocks, o)
 
     def body(t, carry):
         if terminating and task_oh is not None:
@@ -514,16 +520,13 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
             q, qd, tgt = carry
             toh = task_oh
         if use_prng:
-            shape = (n, q[0].shape[-1])
-            u1 = _uniform_01(shape)
-            u2 = _uniform_01(shape)
-            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+            eps = _normals(n, q[0].shape[-1])
         else:
             eps = eps_ref[t]
         q2, qd2, tgt2, obs, act, rew, dist2 = _step3(
-            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, toh)
-        obs_out[t] = obs
-        act_out[t] = act
+            c, mlp, sigma, q, qd, tgt, eps, toh)
+        obs_out[t] = obs.astype(obs_out.dtype)
+        act_out[t] = act.astype(act_out.dtype)
         rew_out[t] = rew
         if terminating:
             # episode ends on reaching the (post-step, possibly
@@ -591,17 +594,14 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
         q, qd, tgt, cq, sq, fk = st
         t = t0 + j
         if use_prng:
-            shape = (n, q[0].shape[-1])
-            u1 = _uniform_01(shape)
-            u2 = _uniform_01(shape)
-            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+            eps = _normals(n, q[0].shape[-1])
         else:
             eps = eps_ref[t]
         q, qd, tgt, cq, sq, fk, obs, act, rew = _step3_fast(
-            c, W_blocks, b_blocks, sigma, q, qd, tgt, eps, cq, sq,
+            c, mlp, sigma, q, qd, tgt, eps, cq, sq,
             fk, task_oh)
-        obs_out[t] = obs
-        act_out[t] = act
+        obs_out[t] = obs.astype(obs_out.dtype)
+        act_out[t] = act.astype(act_out.dtype)
         rew_out[t] = rew
         return (q, qd, tgt, cq, sq, fk)
 
@@ -621,8 +621,15 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
 def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
                      n_envs=None, eps=None, block_b: int = 512,
                      interpret: bool = False, q0=None, qd0=None,
-                     tgt=None, task=None):
-    """Fused 3-D rollout. Same contract as envs/arm.py:rollout."""
+                     tgt=None, task=None, store_dtype=None):
+    """Fused 3-D rollout. Same contract as envs/arm.py:rollout.
+
+    store_dtype=bf16 emits obs_ff/actions_ff in bf16 straight from the
+    kernel (rewards/dones stay fp32): halves the kernel's output write
+    traffic AND feeds the feature-first update path its HBM-bound
+    operands pre-rounded (see trpo.ff_store_dtype). The batch-major
+    obs/actions copies are cast back to fp32 (they are dead code in the
+    fused train step)."""
     from ...envs import arm as arm_mod
 
     c = arm3d_consts(cfg)
@@ -657,6 +664,11 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
     Ws = [params[f"W{i}"] for i in range(L)]
     bs = [params[f"b{i}"][:, None] for i in range(L)]
     logstd = params["logstd"][:, None]
+    # pair-packed MLP: block-diagonal weights built at trace time; every
+    # in-kernel policy matmul then streams bb/2 lanes (rollout_kernel.py)
+    pack2 = pack2_ok(cfg, bb)
+    if pack2:
+        Ws, bs = pack2_weights(Ws, [b[:, 0] for b in bs])
 
     batch_in = lambda d: pl.BlockSpec((d, bb), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
@@ -693,10 +705,12 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
         pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
     ]
+    st_dt = store_dtype or jnp.float32
+    vma = out_vma(inputs)
     out_shape = [
-        jax.ShapeDtypeStruct((T, do, N), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, N), jnp.float32),
-        jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, do, N), st_dt, vma=vma),
+        jax.ShapeDtypeStruct((T, n, N), st_dt, vma=vma),
+        jax.ShapeDtypeStruct((T, 1, N), jnp.float32, vma=vma),
     ]
     terminating = cfg.done_dist > 0.0
     assert not terminating or use_prng, \
@@ -705,10 +719,11 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
     if terminating:
         out_specs.append(pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32,
+                                              vma=vma))
 
     kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng,
-                               terminating)
+                               terminating, pack2)
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret)(*inputs)
@@ -716,8 +731,9 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
 
     # obs_ff: kernel-native feature-first layout for the baseline
     # normal equations (see rollout_kernel.py / trpo/update.py)
-    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
-                 actions=jnp.transpose(act_ff, (2, 0, 1)),
+    f32 = jnp.float32
+    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)).astype(f32),
+                 actions=jnp.transpose(act_ff, (2, 0, 1)).astype(f32),
                  rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
                  obs_ff=obs_ff, actions_ff=act_ff)
     if terminating:
@@ -746,9 +762,11 @@ def rollout3d_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps,
         oh = jax.nn.one_hot(task, cfg.n_tasks, dtype=jnp.float32).T
         task_oh = tuple(oh[i:i + 1] for i in range(cfg.n_tasks))
 
+    mlp = lambda o: _policy_ff(Ws, bs, o)
+
     def body(carry, eps_t):
         q, qd, tgt_c = carry
-        q2, qd2, tgt2, obs, act, rew, _ = _step3(c, Ws, bs, sigma, q, qd,
+        q2, qd2, tgt2, obs, act, rew, _ = _step3(c, mlp, sigma, q, qd,
                                                  tgt_c, eps_t.T, task_oh)
         return (q2, qd2, tgt2), (obs, act, rew)
 

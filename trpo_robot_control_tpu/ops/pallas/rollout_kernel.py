@@ -73,7 +73,14 @@ def auto_block_b(cfg: ExperimentConfig, n_envs: int,
     block (obs+act+rew for the full horizon) fits the VMEM budget —
     Mosaic double-buffers output blocks, so keep them ~< 4MB of the 16MB
     v5e VMEM."""
-    bytes_per_env = cfg.horizon * (cfg.obs_dim + cfg.arm.n_joints + 1) * 4
+    # bf16 storage (trpo.ff_store_dtype) halves the obs/act output
+    # blocks -> roughly doubles the feasible tile; rewards (and dones)
+    # stay fp32. Bigger tiles also enable the pair-packed MLP
+    # (pack2_ok: bb % 256 == 0).
+    elt = 2 if cfg.trpo.ff_store_dtype == "bf16" else 4
+    bytes_per_env = cfg.horizon * (
+        (cfg.obs_dim + cfg.arm.n_joints) * elt
+        + (8 if cfg.done_dist > 0.0 else 4))
     bb = min(max_b, max(128, vmem_budget_bytes // bytes_per_env))
     bb = (bb // 128) * 128
     while n_envs % bb and bb > 128:
@@ -243,7 +250,97 @@ def _policy_ff(Ws, bs, obs):
                                preferred_element_type=jnp.float32) + bs[L - 1]
 
 
-def _step_ff(c: PlanarConsts, Ws, bs, sigma, q, qd, tgtx, tgty, eps):
+# -------------------------------------------------- pair-packed MLP
+# The in-kernel MLP is MXU-PASS-bound: each dot_general streams its B
+# lanes through the systolic array in ~B cycles while the tiny
+# stationary weights (<=64 of 128x128) leave most of the array idle —
+# measured at exactly the single-pass floor (2.6 ms for 3 passes x
+# 1600 block-steps x 512 lanes at c3, docs/performance.md). The fix is
+# the FVP kernel's pair-packing, transposed to this layout: fold the
+# TWO HALVES of the lane dimension onto the sublane dimension
+# ((do, B) -> (2*do_pad, B/2), 8-aligned rows via one zeros + two
+# dynamic_update_slice per step) against BLOCK-DIAGONAL weights built
+# once at trace time. Every pass then streams B/2 lanes: a 2-hidden-64
+# MLP fits exactly ((2*do_pad <= 128, 2h = 128)), halving the MLP's
+# MXU time for ~3 cheap vreg-level repacks per step.
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def out_vma(inputs):
+    """Varying-mesh-axes set for pallas_call outputs: the union of the
+    inputs' vma. Under a check_vma=True shard_map (the TP train step)
+    pallas_call REQUIRES an explicit vma on every out ShapeDtypeStruct;
+    outside one, jax.typeof(x).vma is frozenset() and passing the empty
+    set through is accepted everywhere (verified on jax 0.9)."""
+    vma = frozenset()
+    for x in inputs:
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+    return vma
+
+
+def pack2_ok(cfg, block_b: int) -> bool:
+    """Trace-time eligibility for the pair-packed in-kernel MLP."""
+    hidden = cfg.trpo.hidden
+    return (block_b % 256 == 0
+            and len(hidden) >= 1
+            and all(h <= 64 for h in hidden)
+            and 2 * _round8(cfg.obs_dim) <= 128)
+
+
+def pack2_weights(Ws, bs):
+    """Block-diagonal (2x) weights/biases for _policy_ff_pack2, built at
+    trace time outside the kernel (tiny arrays; XLA folds them)."""
+    do_pad = _round8(Ws[0].shape[0])
+    da_pad = _round8(Ws[-1].shape[1])
+    L = len(Ws)
+    Ws_bd, bs_bd = [], []
+    for i, (W, b) in enumerate(zip(Ws, bs)):
+        din, dout = W.shape
+        in_pad = do_pad if i == 0 else din
+        out_pad = da_pad if i == L - 1 else dout
+        Z = jnp.zeros((2 * in_pad, 2 * out_pad), W.dtype)
+        Z = Z.at[:din, :dout].set(W)
+        Z = Z.at[in_pad:in_pad + din, out_pad:out_pad + dout].set(W)
+        Ws_bd.append(Z)
+        b_col = b.reshape(dout, 1)
+        zb = jnp.zeros((2 * out_pad, 1), b.dtype)
+        zb = zb.at[:dout].set(b_col)
+        zb = zb.at[out_pad:out_pad + dout].set(b_col)
+        bs_bd.append(zb)
+    return Ws_bd, bs_bd
+
+
+def _policy_ff_pack2(Ws_bd, bs_bd, obs, da):
+    """Pair-packed twin of _policy_ff: obs (do,B) -> mu (da,B) with
+    every matmul streaming B/2 lanes. Same math (the block-diagonal
+    zeros contribute exact 0.0); equivalence is covered by the kernel
+    twin tests."""
+    do, B = obs.shape
+    half = B // 2
+    do_pad = _round8(do)
+    da_pad = _round8(da)
+    # concat, not dynamic_update_slice: Mosaic's TPU lowering has no
+    # in-kernel DUS (interpret mode accepts it — compiled does not)
+    pad = do_pad - do
+    zrows = None if pad == 0 else jnp.zeros((pad, half), obs.dtype)
+    parts = [obs[:, :half]] + ([zrows] if pad else []) \
+        + [obs[:, half:]] + ([zrows] if pad else [])
+    h = jnp.concatenate(parts, axis=0)
+    L = len(Ws_bd)
+    for i in range(L - 1):
+        z = jax.lax.dot_general(Ws_bd[i], h, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = jnp.tanh(z + bs_bd[i])
+    mu2 = jax.lax.dot_general(Ws_bd[L - 1], h, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) \
+        + bs_bd[L - 1]
+    return jnp.concatenate([mu2[:da], mu2[da_pad:da_pad + da]], axis=1)
+
+
+def _step_ff(c: PlanarConsts, mlp, sigma, q, qd, tgtx, tgty, eps):
     """One env step, feature-first. q/qd: lists of n (1,B); eps (n,B).
     Returns (q2, qd2, obs (do,B), act (n,B), rew (1,B))."""
     n = c.n
@@ -255,7 +352,7 @@ def _step_ff(c: PlanarConsts, Ws, bs, sigma, q, qd, tgtx, tgty, eps):
          c.qd_obs_scale * jnp.concatenate(qd, 0),
          tgtx - eex, tgty - eey, jnp.zeros_like(eex)], axis=0)
 
-    mu = _policy_ff(Ws, bs, obs)                      # (n, B)
+    mu = mlp(obs)                                     # (n, B)
     act = mu + sigma * eps
     tau = jnp.clip(act, -c.torque_limit, c.torque_limit)
     tau_l = [tau[i:i + 1] for i in range(n)]
@@ -288,7 +385,7 @@ def _step_ff(c: PlanarConsts, Ws, bs, sigma, q, qd, tgtx, tgty, eps):
 
 # --------------------------------------------------------------- kernel
 def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng, terminating,
-                    *refs):
+                    pack2, *refs):
     """refs: q0 (n,Bt), qd0 (n,Bt), tgt (2,Bt), W0..W_{L-1}, b0..b_{L-1}
     (feature-first (d,1)), logstd (n,1), seed (1,1 SMEM) | eps (T,n,Bt),
     -> obs_out (T,do,Bt), act_out (T,n,Bt), rew_out (T,1,Bt)
@@ -320,20 +417,21 @@ def _rollout_kernel(c: PlanarConsts, T, n_layers, use_prng, terminating,
     tgty = tgt_ref[1:2, :]
     W_blocks = [w[:] for w in Ws]
     b_blocks = [b[:] for b in bs]
+    if pack2:
+        mlp = lambda o: _policy_ff_pack2(W_blocks, b_blocks, o, n)
+    else:
+        mlp = lambda o: _policy_ff(W_blocks, b_blocks, o)
 
     def body(t, carry):
         q, qd, tgtx, tgty = carry
         if use_prng:
-            shape = (n, q[0].shape[-1])
-            u1 = _uniform_01(shape)
-            u2 = _uniform_01(shape)
-            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+            eps = _normals(n, q[0].shape[-1])
         else:
             eps = eps_ref[t]
         q2, qd2, obs, act, rew, dist2 = _step_ff(
-            c, W_blocks, b_blocks, sigma, q, qd, tgtx, tgty, eps)
-        obs_out[t] = obs
-        act_out[t] = act
+            c, mlp, sigma, q, qd, tgtx, tgty, eps)
+        obs_out[t] = obs.astype(obs_out.dtype)
+        act_out[t] = act.astype(act_out.dtype)
         rew_out[t] = rew
         if terminating:
             # episode ends on reaching the target; resample a FRESH
@@ -368,11 +466,35 @@ def _uniform_01(shape):
     return small.astype(jnp.float32) * (2.0 ** -23) + (2.0 ** -24)
 
 
+def _normals(n_rows, n_lanes):
+    """(n_rows, n_lanes) standard normals via PAIRED Box-Muller.
+
+    The naive per-row transform (sqrt(-2 ln u1) * cos(2 pi u2)) discards
+    the sin half of each pair, spending one log + one trig PER normal.
+    Using both halves costs one log + one cos + one sin per TWO normals
+    — transcendentals are the dominant VPU cost here (~64 ns each vs
+    2.6 ns fma, scripts/probe_vpu.py), so this cuts the sampler's
+    transcendental rows from 2n to 1.5*ceil(n/2) (7 rows: 14 -> 6).
+    Exact Box-Muller: the (cos, sin) halves of a pair are independent
+    N(0,1); only the PRNG stream layout changes vs the unpaired form.
+    """
+    half = (n_rows + 1) // 2
+    u1 = _uniform_01((half, n_lanes))
+    u2 = _uniform_01((half, n_lanes))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = _TWO_PI * u2
+    z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)
+    return z if 2 * half == n_rows else z[:n_rows]
+
+
 def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
                    n_envs=None, eps=None, block_b: int = 1024,
-                   interpret: bool = False, q0=None, qd0=None, tgt=None):
+                   interpret: bool = False, q0=None, qd0=None, tgt=None,
+                   store_dtype=None):
     """Fused rollout. Returns dict(obs (N,T,do), actions (N,T,da),
     rewards (N,T)) — same contract as envs/arm.py:rollout.
+    store_dtype=bf16 emits obs_ff/actions_ff in bf16 (rewards stay
+    fp32); see pallas_rollout3d.
 
     Initial states/targets are sampled with jax.random OUTSIDE the kernel
     (cheap, once per rollout) so their distributions stay identical to the
@@ -414,6 +536,11 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
     Ws = [params[f"W{i}"] for i in range(L)]
     bs = [params[f"b{i}"][:, None] for i in range(L)]
     logstd = params["logstd"][:, None]
+    # pair-packed MLP: block-diagonal weights built at trace time; every
+    # in-kernel policy matmul then streams bb/2 lanes (see above)
+    pack2 = pack2_ok(cfg, bb)
+    if pack2:
+        Ws, bs = pack2_weights(Ws, [b[:, 0] for b in bs])
 
     batch_in = lambda d: pl.BlockSpec((d, bb), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
@@ -445,10 +572,12 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
         pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
     ]
+    st_dt = store_dtype or jnp.float32
+    vma = out_vma(inputs)
     out_shape = [
-        jax.ShapeDtypeStruct((T, do, N), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, N), jnp.float32),
-        jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, do, N), st_dt, vma=vma),
+        jax.ShapeDtypeStruct((T, n, N), st_dt, vma=vma),
+        jax.ShapeDtypeStruct((T, 1, N), jnp.float32, vma=vma),
     ]
     terminating = cfg.done_dist > 0.0
     assert not terminating or use_prng, \
@@ -457,10 +586,11 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
     if terminating:
         out_specs.append(pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32,
+                                              vma=vma))
 
     kernel = functools.partial(_rollout_kernel, c, T, L, use_prng,
-                               terminating)
+                               terminating, pack2)
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret)(*inputs)
@@ -471,8 +601,9 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
     # it directly (trpo/update.py), which avoids XLA re-materialising a
     # (F, B)-transposed phi via a chunked while+DUS loop (measured ~3x
     # on the feature pipeline at c4 scale).
-    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)),
-                 actions=jnp.transpose(act_ff, (2, 0, 1)),
+    f32 = jnp.float32
+    batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)).astype(f32),
+                 actions=jnp.transpose(act_ff, (2, 0, 1)).astype(f32),
                  rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
                  obs_ff=obs_ff, actions_ff=act_ff)
     if terminating:
@@ -498,9 +629,11 @@ def rollout_reference(cfg: ExperimentConfig, params, q0, qd0, tgt, eps):
     tgtx = tgt[:, 0:1].T
     tgty = tgt[:, 1:2].T
 
+    mlp = lambda o: _policy_ff(Ws, bs, o)
+
     def body(carry, eps_t):
         q, qd = carry
-        q2, qd2, obs, act, rew, _ = _step_ff(c, Ws, bs, sigma, q, qd,
+        q2, qd2, obs, act, rew, _ = _step_ff(c, mlp, sigma, q, qd,
                                              tgtx, tgty, eps_t.T)
         return (q2, qd2), (obs, act, rew)
 

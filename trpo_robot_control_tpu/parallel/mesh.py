@@ -122,51 +122,63 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
     local_envs = cfg.n_envs // n_data
     replicated = P()
 
+    kw = dict(donate_argnums=0) if donate else {}
+
     if n_model > 1:
         # tensor parallelism (parallel/tensor.py): policy hidden dim
-        # sharded over 'model', composed with DP over 'data'. The TP
-        # forward rides the XLA rollout path (the fused kernels assume
-        # full replicated weights).
-        from . import tensor
-        from .tensor import (shard_policy_params, trpo_update_tp,
-                             unshard_policy_params)
-        sample_tp = tensor.make_sample_tp(MODEL_AXIS)
+        # sharded over 'model', composed with DP over 'data'. TrainState
+        # carries FULL replicated params, so the rollout runs the same
+        # resolver as the DP path — fused Pallas kernels included
+        # (weights are replicated at collection time; only the UPDATE
+        # math is TP-sharded). The step is TWO shard_map regions inside
+        # one jit: collection under check_vma=False (the kernels'
+        # fori_loop bodies don't thread vma tags), then the TP update
+        # under check_vma=True (REQUIRED for correct psum transposes —
+        # see tensor.py). The batch stays device-resident and
+        # 'data'-sharded between the regions.
+        rollout_fn_tp = arm.make_rollout_fn(cfg)
+        batch_keys = ("obs", "actions", "rewards") \
+            + (("dones",) if cfg.done_dist > 0.0 else ())
 
-        def local_step(state: TrainState):
+        def local_rollout(params, k_roll):
             idx_d = jax.lax.axis_index(DATA_AXIS)
-            idx_m = jax.lax.axis_index(MODEL_AXIS)
-            local = shard_policy_params(state.params, n_model, idx_m)
-            key, k_roll = jax.random.split(state.key)
             k_local = jax.random.fold_in(k_roll, idx_d)
-            batch = arm.rollout(cfg, local, sample_tp, k_local,
-                                n_envs=local_envs)
-            new_local, w, stats = trpo_update_tp(
-                cfg, local, state.w, batch, DATA_AXIS, MODEL_AXIS)
-            params = unshard_policy_params(new_local, n_model, idx_m,
-                                           MODEL_AXIS)
-            new_state = TrainState(params=params, w=w, key=key,
-                                   iteration=state.iteration + 1)
-            return new_state, stats
-    else:
-        rollout_fn = arm.make_rollout_fn(cfg)
+            batch = rollout_fn_tp(params, k_local, n_envs=local_envs)
+            # the TP update consumes the batch-major layout; the ff
+            # keys feed the DP fast path only
+            return {k: batch[k] for k in batch_keys}
 
-        def local_step(state: TrainState):
-            idx = jax.lax.axis_index(DATA_AXIS)
+        sharded_rollout = jax.shard_map(
+            local_rollout, mesh=mesh, in_specs=(P(), P()),
+            out_specs={k: P(DATA_AXIS) for k in batch_keys},
+            check_vma=False)
+        tp_update = make_sharded_update_tp(cfg, mesh,
+                                           batch_keys=batch_keys)
+
+        def step(state: TrainState):
             key, k_roll = jax.random.split(state.key)
-            k_local = jax.random.fold_in(k_roll, idx)
-            batch = rollout_fn(state.params, k_local, n_envs=local_envs)
-            params, w, stats = trpo_update(cfg, state.params, state.w,
-                                           batch, axis_name=DATA_AXIS)
-            new_state = TrainState(params=params, w=w, key=key,
-                                   iteration=state.iteration + 1)
-            return new_state, stats
+            batch = sharded_rollout(state.params, k_roll)
+            params, w, stats = tp_update(state.params, state.w, batch)
+            return TrainState(params=params, w=w, key=key,
+                              iteration=state.iteration + 1), stats
 
-    # check_vma=True is REQUIRED when TP is active: without replication
-    # tracking the TP forward's psum transposes to another psum and the
-    # sharded-leaf gradients come out n_model x too large (tensor.py)
+        return jax.jit(step, **kw)
+
+    rollout_fn = arm.make_rollout_fn(cfg)
+
+    def local_step(state: TrainState):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        key, k_roll = jax.random.split(state.key)
+        k_local = jax.random.fold_in(k_roll, idx)
+        batch = rollout_fn(state.params, k_local, n_envs=local_envs)
+        params, w, stats = trpo_update(cfg, state.params, state.w,
+                                       batch, axis_name=DATA_AXIS)
+        new_state = TrainState(params=params, w=w, key=key,
+                               iteration=state.iteration + 1)
+        return new_state, stats
+
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=replicated,
-                            out_specs=replicated, check_vma=n_model > 1)
-    kw = dict(donate_argnums=0) if donate else {}
+                            out_specs=replicated, check_vma=False)
     return jax.jit(sharded, **kw)
 
 

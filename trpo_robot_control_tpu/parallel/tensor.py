@@ -161,12 +161,6 @@ def trpo_update_tp(cfg: ExperimentConfig, local, w, batch,
     local shard out). Mirrors trpo/update.py step for step; batch is
     the 'data'-shard (replicated across 'model')."""
     tr = cfg.trpo
-    if tr.baseline != "linear":
-        raise NotImplementedError(
-            "tensor parallelism currently pairs with the linear value "
-            "baseline only (the MLP baseline's Adam refit is untested "
-            "under the 'model' axis) — use --baseline linear with "
-            "--n-model > 1")
     obs, actions, rewards = batch["obs"], batch["actions"], batch["rewards"]
     N, T, do = obs.shape
     da = actions.shape[-1]
@@ -179,9 +173,14 @@ def trpo_update_tp(cfg: ExperimentConfig, local, w, batch,
         return jax.lax.psum(x, data_axis) if data_axis else x
 
     # ---- 1) values -> GAE -> whiten -> targets -> refit (batch space,
-    #         identical to the DP path; replicated across 'model')
+    #         identical to the DP path; replicated across 'model' — the
+    #         baseline is never TP-sharded, both the linear fit and the
+    #         MLP's Adam refit run the same replicated computation on
+    #         every model shard with 'data'-reduced moments/gradients)
+    mlp_baseline = tr.baseline == "mlp"
     phi = baseline.features(obs, cfg.horizon)
-    values = baseline.predict(w, phi)
+    values = baseline.predict_mlp(w, phi) if mlp_baseline \
+        else baseline.predict(w, phi)
     adv_raw = gae(rewards, values, tr.gamma, tr.lam,
                   dones=batch.get("dones"))
     m1 = _pmean(jnp.mean(adv_raw))
@@ -191,10 +190,15 @@ def trpo_update_tp(cfg: ExperimentConfig, local, w, batch,
     targets = adv_raw + values
     F = phi.shape[-1]
     phi_f = phi.reshape(B, F)
-    A = _psum(phi_f.T @ phi_f) \
-        + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
-    b_vec = _psum(phi_f.T @ targets.reshape(B))
-    w_new = baseline.fit_normal(A, b_vec)
+    if mlp_baseline:
+        w_new = baseline.fit_mlp(w, phi_f, targets.reshape(B),
+                                 tr.baseline_lr, tr.baseline_epochs,
+                                 axis_name=data_axis)
+    else:
+        A = _psum(phi_f.T @ phi_f) \
+            + tr.baseline_reg * jnp.eye(F, dtype=phi.dtype)
+        b_vec = _psum(phi_f.T @ targets.reshape(B))
+        w_new = baseline.fit_normal(A, b_vec)
 
     obs_f = obs.reshape(B, do)
     act_f = actions.reshape(B, da)

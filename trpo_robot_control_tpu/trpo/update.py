@@ -147,7 +147,10 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             "horizon %% fvp_subsample == 0; got T="
             f"{obs_ff.shape[0]}, k={tr.fvp_subsample}")
         sub = obs_ff[::tr.fvp_subsample]
-        obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do)
+        # fp32 for the FVP kernel regardless of the storage dtype (the
+        # relayout only touches the small 1/k subsample)
+        obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do) \
+            .astype(jnp.float32)
     else:
         obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 \
             else obs_f
