@@ -71,11 +71,21 @@ C2_REACHER3 = ExperimentConfig(
     n_envs=1024, horizon=100, n_iters=200, seed=0,
 )
 
+# c3-c5 run bf16 STORAGE (not compute): the fused kernels emit
+# obs_ff/actions_ff in bf16 and the surrogate-gradient pass stores its
+# (T, h, N) activations/cotangents bf16 — every contraction still
+# accumulates fp32. Adopted from a measured decision (round 3): the
+# HBM-bound update passes shrink ~35%, the halved output blocks raise
+# the rollout tile to 256 which enables the pair-packed in-kernel MLP,
+# and a 40-iter full-scale c4 convergence A/B is indistinguishable from
+# fp32 (scripts/ab_bf16.py; docs/performance.md). Gradient/moment error
+# bounds: tests/test_ff_baseline.py. fvp_subsample stays 8 — measured
+# at the cosine cliff's edge (scripts/measure_c45_stride.py).
 C3_FRANKA7 = ExperimentConfig(
     name="c3_franka7",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(fvp_subsample=8),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
     n_envs=4096, horizon=200, n_iters=300, seed=0,
 )
 
@@ -84,7 +94,7 @@ C4_FRANKA7_OBSTACLE = ExperimentConfig(
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001, obstacle_weight=1.0,
                   obstacle_radius=0.15),
-    trpo=TRPOSpec(fvp_subsample=8),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
     n_envs=16384, horizon=200, n_iters=300, seed=0,
 )
 
@@ -92,7 +102,7 @@ C5_MULTITASK = ExperimentConfig(
     name="c5_multitask",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(fvp_subsample=8),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
     n_envs=65536, horizon=200, n_iters=500, seed=0,
     n_tasks=3,
 )
