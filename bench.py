@@ -14,8 +14,10 @@ at enqueue-ack, not completion — only a host fetch of the result forces
 truth, and one fetch round-trip costs ~30-40 ms with multi-ms jitter. So
 every number here is a SLOPE between two on-device `lax.scan` chain
 lengths (one dispatch + one fetch each); the fetch cost and its jitter
-cancel in the difference, and the reported variance band is the spread
-of that slope across repetitions.
+cancel in the difference, the headline is the MEDIAN rep slope, and the
+reported variance band is the full spread of that slope across
+repetitions. Chain lengths scale with config size so the slope clears
+the jitter (tiny c1 runs 64 -> 1024-update chains).
 
 `--all` benches every config c1-c5 and writes one JSON block per config
 into bench_details.json (BASELINE.md asks for per-config numbers); the
@@ -93,13 +95,22 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3,
     from trpo_robot_control_tpu.trpo.train import (init_state,
                                                    make_train_many)
 
+    samples = cfg.n_envs * cfg.horizon
     if n_lo is None:
         # big configs: a 144-update scan of a 13M-sample update is a
         # large enough program to crash the tunnelled TPU worker, and
         # their multi-100ms updates don't need long chains to clear the
-        # fetch jitter anyway
-        big = cfg.n_envs * cfg.horizon >= 2_000_000
-        n_lo, n_hi = (8, 40) if big else (16, 144)
+        # fetch jitter anyway. TINY configs (c1: ~0.25 ms/update) need
+        # the opposite: chains long enough that the slope is >~100x the
+        # multi-ms fetch jitter — 16->144 updates spans only ~30 ms and
+        # produced a 10x band (VERDICT r3 weak #1); 64->1024 spans
+        # ~250 ms.
+        if samples >= 2_000_000:
+            n_lo, n_hi = 8, 40
+        elif samples < 50_000:
+            n_lo, n_hi = 64, 1024
+        else:
+            n_lo, n_hi = 16, 144
 
     state = init_state(cfg, seed=0)
     many_lo = make_train_many(cfg, n_lo, mesh=mesh)
@@ -133,6 +144,11 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3,
             t_hi = time.perf_counter() - t0
             slopes[ci].append((t_hi - t_lo) / (n_hi - n_lo))
     flat = [s for series in slopes for s in series]
+    # headline = MEDIAN of the rep slopes (best-of-reps quoted the
+    # luckiest chip-state window — one-sided; VERDICT r3 weak #1); the
+    # band still reports the full spread as evidence.
+    s_med = sorted(flat)[len(flat) // 2] if len(flat) % 2 else \
+        sum(sorted(flat)[len(flat) // 2 - 1:len(flat) // 2 + 1]) / 2.0
     s_best, s_worst = min(flat), max(flat)
 
     # --- rollout-only steps/s/chip, same slope method
@@ -155,14 +171,14 @@ def bench_config(cfg, mesh, n_dev, n_lo=None, n_hi=None, reps=3,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k_lo, k_hi = 8, 104
+    k_lo, k_hi = (32, 1024) if samples < 50_000 else (8, 104)
     roll_s = max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-6)
-    env_steps = cfg.n_envs * cfg.horizon
+    env_steps = samples
 
     out = dict(
-        updates_per_s=1.0 / s_best,
+        updates_per_s=1.0 / s_med,
         updates_per_s_band=[1.0 / s_worst, 1.0 / s_best],
-        per_update_ms=1e3 * s_best,
+        per_update_ms=1e3 * s_med,
         # raw per-rep slopes (s/update) — the evidence behind the band
         slopes_raw_s=[round(s, 6) for s in slopes[0]],
         rollout_steps_per_s_per_chip=env_steps / roll_s / max(n_dev, 1),

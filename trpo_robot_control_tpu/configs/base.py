@@ -131,12 +131,23 @@ class TRPOSpec:
     baseline_hidden: Tuple[int, ...] = (64,)
     baseline_lr: float = 1e-2
     baseline_epochs: int = 10
-    # Storage dtype for the surrogate-gradient pass's (T, h, N) hidden
-    # activations / cotangents on the feature-first path: "f32" (exact)
-    # or "bf16". The pass is HBM-bound on exactly these intermediates at
-    # c4/c5 scale; bf16 halves that traffic while every contraction
-    # still accumulates fp32. Gradient error is bounded by
-    # tests/test_ff_baseline.py::test_surrogate_grad_ff_bf16_close.
+    # Storage dtype for the feature-first pipeline's batch-sized
+    # intermediates: "f32" (exact) or "bf16". "bf16" gates FOUR sites,
+    # each fp32-accumulating (storage rounds, contractions don't):
+    #   1. the surrogate-gradient pass's (T, h, N) hidden activations /
+    #      cotangents (HBM-bound at c4/c5 scale; bf16 halves that
+    #      traffic — tests/test_ff_baseline.py::
+    #      test_surrogate_grad_ff_bf16_close bounds the gradient error);
+    #   2. KERNEL-side emission of obs_ff/actions_ff (envs/arm.py:
+    #      make_rollout_fn passes store_dtype to the fused rollout
+    #      kernels), halving the rollout's output writes;
+    #   3. auto_block_b's VMEM output accounting (ops/pallas/
+    #      rollout_kernel.py) — halved blocks double the env tile to
+    #      256, which enables the pair-packed in-kernel MLP (pack2_ok);
+    #   4. the baseline normal equations / regression targets
+    #      (models/baseline.py:normal_eq_ff) read the storage dtype.
+    # Adopted for c3-c5 from a measured decision — see the c3 note in
+    # configs/__init__.py and docs/performance.md "Storage dtype".
     ff_store_dtype: str = "f32"
 
 

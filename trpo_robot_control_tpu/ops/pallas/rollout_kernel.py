@@ -474,7 +474,7 @@ def _normals(n_rows, n_lanes):
     Using both halves costs one log + one cos + one sin per TWO normals
     — transcendentals are the dominant VPU cost here (~64 ns each vs
     2.6 ns fma, scripts/probe_vpu.py), so this cuts the sampler's
-    transcendental rows from 2n to 1.5*ceil(n/2) (7 rows: 14 -> 6).
+    transcendental rows from 2n to 3*ceil(n/2) (7 joints: 14 -> 12).
     Exact Box-Muller: the (cos, sin) halves of a pair are independent
     N(0,1); only the PRNG stream layout changes vs the unpaired form.
     """
@@ -602,15 +602,21 @@ def pallas_rollout(cfg: ExperimentConfig, params, key_or_seed,
     # (F, B)-transposed phi via a chunked while+DUS loop (measured ~3x
     # on the feature pipeline at c4 scale).
     f32 = jnp.float32
+    # rewards_ff/dones_ff: the kernel-native (T, N) views — the ff
+    # update pipeline consumes them directly (trpo/update.py runs
+    # (T, N) end-to-end), leaving every batch-major transpose here as
+    # dead code in the fused train step
     batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)).astype(f32),
                  actions=jnp.transpose(act_ff, (2, 0, 1)).astype(f32),
                  rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
-                 obs_ff=obs_ff, actions_ff=act_ff)
+                 obs_ff=obs_ff, actions_ff=act_ff,
+                 rewards_ff=rew_ff[:, 0, :])
     if terminating:
         # the final step always terminates (fixed buffer end, no
         # bootstrap) — same convention as envs/arm.py:rollout
-        dones = jnp.transpose(outs[3][:, 0, :], (1, 0))
-        batch["dones"] = dones.at[:, -1].set(1.0)
+        dones_tn = outs[3][:, 0, :].at[-1].set(1.0)
+        batch["dones_ff"] = dones_tn
+        batch["dones"] = dones_tn.T
     return batch
 
 
