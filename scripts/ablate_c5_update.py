@@ -109,17 +109,21 @@ def main():
     report("baseline_phi_fp32",
            _slope_time(baseline_phi_block, (obs_ff, rewards)))
 
-    # ---- baseline pipeline, round-3 form (block-decomposed, no phi)
-    def baseline_block(o_ff, targets):
-        vals = baseline.values_ff(w, o_ff, cfg.horizon)
-        A, b = baseline.normal_eq_ff(o_ff, targets, cfg.horizon)
+    # ---- baseline pipeline, round-3/4 form (block-decomposed, no phi;
+    # (T, N)-native targets as the round-4 ff pipeline feeds them)
+    rewards_tn = jnp.transpose(rewards)
+
+    def baseline_block(o_ff, targets_tn):
+        vals = baseline.values_ff(w, o_ff, cfg.horizon, tn=True)
+        A, b = baseline.normal_eq_ff(o_ff, targets_tn, cfg.horizon)
         A = A + tr.baseline_reg * jnp.eye(A.shape[0])
         return baseline.fit_normal(A, b), vals
 
-    report("baseline_fp32", _slope_time(baseline_block, (obs_ff, rewards)))
+    report("baseline_fp32",
+           _slope_time(baseline_block, (obs_ff, rewards_tn)))
     report("baseline_bf16in",
            _slope_time(baseline_block, (obs_ff.astype(jnp.bfloat16),
-                                        rewards)))
+                                        rewards_tn)))
 
     # ---- GAE + whiten
     def gae_block(rew, vals):

@@ -120,6 +120,35 @@ def main():
               for k in ("obs", "actions", "rewards"))
     check("3D rollout kernel == twin", err < 1e-4, f"max err {err:.2e}")
 
+    # ---- T-CHUNKED 3D kernel (round 4: wide-tile grid, state in VMEM
+    # scratch across sequential chunk steps) compiled vs twin, eps mode
+    c3c = C3_FRANKA7.replace(horizon=8)
+    st7c = arm.reset(c3c, jax.random.PRNGKey(16), 512)
+    eps7c = jax.random.normal(jax.random.PRNGKey(17), (8, 512, 7))
+    ref7c = jax.jit(lambda: rollout3d_reference(c3c, params7, st7c.q,
+                                                st7c.qd, st7c.tgt,
+                                                eps7c))()
+    pal7c = jax.jit(lambda: pallas_rollout3d(
+        c3c, params7, 0, n_envs=512, eps=eps7c, block_b=512, t_chunk=4,
+        q0=st7c.q, qd0=st7c.qd, tgt=st7c.tgt))()
+    err = max(float(jnp.max(jnp.abs(pal7c[k] - ref7c[k])))
+              for k in ("obs", "actions", "rewards"))
+    check("3D CHUNKED rollout kernel == twin", err < 1e-4,
+          f"max err {err:.2e}")
+
+    # chunked PRNG mode at the PRODUCTION tile (bb=512, Tc=40, bf16
+    # emission — the shipped c3-c5 configuration): deterministic per
+    # seed, finite, sane spread
+    fc = jax.jit(lambda s: pallas_rollout3d(
+        C3_FRANKA7, params7, s, n_envs=1024, block_b=512, t_chunk=40,
+        store_dtype=jnp.bfloat16))
+    a, b = jax.device_get((fc(13), fc(13)))
+    det = bool((a["actions"] == b["actions"]).all())
+    fin = bool(np.isfinite(np.asarray(a["obs"], np.float32)).all())
+    spread = float(np.std(np.asarray(a["actions"], np.float32)))
+    check("3D chunked PRNG deterministic+finite",
+          det and fin and 0.05 < spread < 5.0, f"spread {spread:.3f}")
+
     # ---- in-kernel early termination (done flags + PRNG auto-reset)
     # Exact semantic check: for the reach task, the kernel's reward is
     # r_t = -(dist2 + w*ctrl) at the post-step state, so

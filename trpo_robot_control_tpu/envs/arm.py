@@ -184,12 +184,20 @@ def make_rollout_fn(cfg: ExperimentConfig):
         if planar_ok and impl == "pallas":
             from ..ops.pallas.rollout_kernel import pallas_rollout as pr
         else:
-            from ..ops.pallas.rollout3d_kernel import pallas_rollout3d as pr
+            from ..ops.pallas.rollout3d_kernel import (auto_tile3d,
+                                                       pallas_rollout3d
+                                                       as pr)
             impl = "pallas3d"
 
         def fn(params, key, n_envs=None):
             n = cfg.n_envs if n_envs is None else n_envs
-            bb = auto_block_b(cfg, n)
+            if impl == "pallas3d":
+                # widest tile + T-chunked output grid: the in-kernel
+                # MLP is latency-bound, lanes ~free up to 1024
+                # (auto_tile3d / scripts/probe_mxu_lanes.py)
+                bb, t_chunk = auto_tile3d(cfg, n)
+            else:
+                bb, t_chunk = auto_block_b(cfg, n), None
             if n % bb:
                 # no 128-multiple tile divides this env count; take the
                 # XLA scan path rather than fail the kernel's tiling
@@ -219,8 +227,9 @@ def make_rollout_fn(cfg: ExperimentConfig):
             # pre-rounded and halves the rollout's output writes
             store = jnp.bfloat16 \
                 if cfg.trpo.ff_store_dtype == "bf16" else None
+            kw = {} if impl != "pallas3d" else {"t_chunk": t_chunk}
             return pr(cfg, params, key, n_envs=n, block_b=bb,
-                      interpret=interp, eps=eps, store_dtype=store)
+                      interpret=interp, eps=eps, store_dtype=store, **kw)
 
         return fn
     return lambda params, key, n_envs=None: rollout(

@@ -41,15 +41,19 @@ def _time_features(T, horizon, dtype):
     return jnp.stack([t, t ** 2, t ** 3, jnp.ones_like(t)], axis=1)
 
 
-def values_ff(w, obs_ff, horizon: int):
+def values_ff(w, obs_ff, horizon: int, tn: bool = False):
     """predict() without materialising phi: obs_ff (T, do, N) -> values
-    (N, T). The time-feature term is per-timestep constant, so only the
-    obs/obs^2 einsums touch the batch (the squares fuse into the reads;
-    phi_ff at c5 scale is a 3 GB intermediate).
+    (N, T), or the kernel-native (T, N) when tn=True (the ff update
+    pipeline runs (T, N) end-to-end so no full-batch transposes are
+    emitted — trpo/update.py). The time-feature term is per-timestep
+    constant, so only the obs/obs^2 einsums touch the batch (the squares
+    fuse into the reads; phi_ff at c5 scale is a 3 GB intermediate).
 
     obs_ff may be bf16 (kernel-emitted storage, trpo.ff_store_dtype);
     every contraction accumulates fp32 and the time features are always
-    fp32 (t^3 in bf16 would lose the fit's conditioning)."""
+    fp32 (t^3 in bf16 would lose the fit's conditioning). The weights
+    round to the storage dtype too — bounded by tests/test_ff_baseline
+    .py::test_values_ff_bf16_weight_cast_bounded."""
     T, do, N = obs_ff.shape
     w_o, w_q, w_t = w[:do], w[do:2 * do], w[2 * do:]
     f32 = jnp.float32
@@ -59,12 +63,12 @@ def values_ff(w, obs_ff, horizon: int):
                      w_q.astype(obs_ff.dtype),
                      preferred_element_type=f32) \
         + (_time_features(T, horizon, f32) @ w_t)[:, None]
-    return v.T
+    return v if tn else v.T
 
 
-def normal_eq_ff(obs_ff, targets, horizon: int):
+def normal_eq_ff(obs_ff, targets_tn, horizon: int):
     """LOCAL normal-equation moments (A, b) for the ridge fit, straight
-    from the kernel layout: obs_ff (T, do, N), targets (N, T) ->
+    from the kernel layout: obs_ff (T, do, N), targets_tn (T, N) ->
     (A (F, F), b (F,)) with the features() ordering
     [obs, obs^2, t, t^2, t^3, 1].
 
@@ -90,7 +94,7 @@ def normal_eq_ff(obs_ff, targets, horizon: int):
     dt = obs_ff.dtype
     f32 = jnp.float32
     tau = _time_features(T, horizon, f32)                   # (T, 4)
-    y_ff = targets.T[:, None, :].astype(dt)                 # (T, 1, N)
+    y_ff = targets_tn[:, None, :].astype(dt)                # (T, 1, N)
     v = jnp.concatenate([obs_ff, obs_ff * obs_ff, y_ff], axis=1)
     G = jnp.einsum("tfn,tgn->fg", v, v,
                    preferred_element_type=f32)   # [[A_uu, b_u], ...]

@@ -31,24 +31,37 @@ def _affine_compose(f, g):
     return cf * cg, dg + cg * df
 
 
-def _nonterm(rewards, dones):
-    N, T = rewards.shape
+def _nonterm(rewards, dones, time_axis: int = 1):
     if dones is None:
-        return jnp.broadcast_to(
-            jnp.ones(T, rewards.dtype).at[-1].set(0.0), (N, T))
+        T = rewards.shape[time_axis]
+        ones = jnp.ones(T, rewards.dtype).at[-1].set(0.0)
+        shape = [1, 1]
+        shape[time_axis] = T
+        return jnp.broadcast_to(ones.reshape(shape), rewards.shape)
     return 1.0 - dones.astype(rewards.dtype)
 
 
-def gae(rewards, values, gamma: float, lam: float, dones=None):
-    """rewards/values (N, T) [, dones (N, T)] -> raw advantages (N, T)."""
-    nonterm = _nonterm(rewards, dones)
-    next_v = jnp.concatenate(
-        [values[:, 1:], jnp.zeros_like(values[:, :1])], axis=1)
+def gae(rewards, values, gamma: float, lam: float, dones=None,
+        time_axis: int = 1):
+    """rewards/values (N, T) [, dones (N, T)] -> raw advantages (N, T).
+
+    time_axis=0 runs the identical recurrence on (T, N) operands — the
+    fused rollout kernels' native layout (batch["rewards_ff"]), so the
+    ff update path never materialises a transposed rewards/advantage
+    copy (trpo/update.py). Same math: the scan combines along time and
+    every other op is elementwise."""
+    nonterm = _nonterm(rewards, dones, time_axis)
+    if time_axis == 1:
+        next_v = jnp.concatenate(
+            [values[:, 1:], jnp.zeros_like(values[:, :1])], axis=1)
+    else:
+        next_v = jnp.concatenate(
+            [values[1:], jnp.zeros_like(values[:1])], axis=0)
     delta = rewards + gamma * next_v * nonterm - values
     coeff = (gamma * lam) * nonterm
     # a_t = (T_t o T_{t+1} o ... o T_{T-1})(0) with T_t: x -> delta_t + c_t*x
     _, adv = jax.lax.associative_scan(_affine_compose, (coeff, delta),
-                                      reverse=True, axis=1)
+                                      reverse=True, axis=time_axis)
     return adv
 
 

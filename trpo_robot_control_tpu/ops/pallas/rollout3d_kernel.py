@@ -184,6 +184,52 @@ def arm3d_consts(cfg: ExperimentConfig, chol_reg: float = 1e-6):
     )
 
 
+def auto_tile3d(cfg: ExperimentConfig, n_envs: int,
+                vmem_budget_bytes: int = 3 * 1024 * 1024,
+                max_b: int = 512):
+    """(block_b, t_chunk) for the 3-D kernel.
+
+    The in-kernel policy matmul is LATENCY-bound — a dependent
+    (128,128)@(128,L) matmul costs a ~constant ~175 cycles for
+    L = 128..1024 (scripts/probe_mxu_lanes.py) — so wider tiles win:
+    the MLP cost per env drops ~linearly with tile width. What capped
+    the tile at 256 was the full-horizon double-buffered output block;
+    the T-chunked grid (t_chunk) shrinks that block by T/Tc. Measured
+    at c3 (scripts/probe_rollout_tile.py, bf16): bb 256 -> 512 gives
+    7.66 -> 6.27 ms/rollout (+22%), flat in Tc from 8..50; bb=1024
+    REGRESSES to 7.1 ms (the ~(n+1, bb) RNEA live set outgrows
+    VMEM/vreg headroom), hence max_b=512 — a measured decision, not a
+    budget bound. Terminating configs return t_chunk=None and the old
+    full-T budget-shrunk tile (in-kernel resets keep the unchunked
+    kernel).
+    """
+    elt = 2 if cfg.trpo.ff_store_dtype == "bf16" else 4
+    bps = (cfg.obs_dim + cfg.arm.n_joints) * elt \
+        + (8 if cfg.done_dist > 0.0 else 4)        # bytes/env/step
+    T = cfg.horizon
+    if cfg.done_dist > 0.0:
+        from .rollout_kernel import auto_block_b
+        return auto_block_b(cfg, n_envs), None
+    if n_envs < 128:
+        return n_envs, None
+    bb = (min(max_b, n_envs) // 128) * 128
+    while bb > 128 and n_envs % bb:
+        bb -= 128
+    if T * bps * bb <= vmem_budget_bytes:
+        return bb, None
+    # largest divisor of T whose output block fits; prefer multiples of
+    # 8 (the trig-refresh period K) so chunking adds no extra refreshes
+    divisors = sorted((d for d in range(1, T + 1) if T % d == 0),
+                      reverse=True)
+    for mult8 in (True, False):
+        for Tc in divisors:
+            if mult8 and Tc % 8:
+                continue
+            if Tc < T and Tc * bps * bb <= vmem_budget_bytes:
+                return bb, Tc
+    return 128, None
+
+
 def _fk3(c: Arm3DConsts, cq, sq):
     """FK from per-joint cos/sin lists. Returns (R[i] 9-tuples,
     p[i] vec3s, axis[i] vec3s, Afix[i] 9-tuples, ee vec3)."""
@@ -618,10 +664,109 @@ def _rollout3d_kernel(c: Arm3DConsts, T, n_layers, use_prng,
     jax.lax.fori_loop(0, T // K, outer, (q, qd, tgt))
 
 
+def _rollout3d_kernel_chunked(c: Arm3DConsts, Tc, n_chunks, n_layers,
+                              use_prng, pack2, *refs):
+    """T-CHUNKED twin of _rollout3d_kernel's fast path (round 4).
+
+    Grid = (env_tiles, n_chunks), chunk dim innermost — TPU grid steps
+    run sequentially, so the joint state persists across chunks in a
+    VMEM scratch block and only a (Tc, d, bb) output block is
+    double-buffered per step. Why: the in-kernel policy matmul is
+    LATENCY-bound, not stream-bound — a dependent (128,128)@(128,L)
+    matmul costs a ~constant ~175 cycles for L = 128..1024
+    (scripts/probe_mxu_lanes.py) — so lanes are nearly free up to 1024
+    and the MLP cost per env drops ~linearly with tile width. Full-T
+    output blocks capped the tile at 256 envs (VMEM double-buffering);
+    chunking T lifts that to 1024.
+
+    Non-terminating only (in-kernel resets would need the carried-trig
+    guard anyway; terminating configs keep the unchunked kernel).
+    refs: [q0, qd0, tgt, (task), Ws, bs, logstd, seed|eps,
+           obs_out, act_out, rew_out, state_scratch].
+    """
+    it = iter(refs)
+    q0_ref = next(it)
+    qd0_ref = next(it)
+    tgt_ref = next(it)
+    task_ref = next(it) if c.n_tasks > 1 else None
+    Ws = [next(it) for _ in range(n_layers)]
+    bs = [next(it) for _ in range(n_layers)]
+    logstd_ref = next(it)
+    if use_prng:
+        seed_ref = next(it)
+    else:
+        eps_ref = next(it)
+    obs_out = next(it)
+    act_out = next(it)
+    rew_out = next(it)
+    state_ref = next(it)                    # (2n+3, bb) fp32 scratch
+
+    n = c.n
+    j = pl.program_id(1)
+    if use_prng:
+        # deterministic stream per (env tile, chunk); the chunked and
+        # unchunked kernels draw DIFFERENT streams (same distributions)
+        # — eps mode is the bit-exact equivalence path
+        pltpu.prng_seed(seed_ref[0, 0]
+                        + pl.program_id(0) * n_chunks + j)
+    sigma = jnp.exp(logstd_ref[:])
+
+    @pl.when(j == 0)
+    def _init():
+        state_ref[0:n] = q0_ref[:]
+        state_ref[n:2 * n] = qd0_ref[:]
+        state_ref[2 * n:2 * n + 3] = tgt_ref[:]
+
+    q = [state_ref[i:i + 1, :] for i in range(n)]
+    qd = [state_ref[n + i:n + i + 1, :] for i in range(n)]
+    tgt = (state_ref[2 * n:2 * n + 1, :],
+           state_ref[2 * n + 1:2 * n + 2, :],
+           state_ref[2 * n + 2:2 * n + 3, :])
+    task_oh = None if task_ref is None else tuple(
+        task_ref[i:i + 1, :] for i in range(c.n_tasks))
+    W_blocks = [w[:] for w in Ws]
+    b_blocks = [b[:] for b in bs]
+    if pack2:
+        mlp = lambda o: _policy_ff_pack2(W_blocks, b_blocks, o, n)
+    else:
+        mlp = lambda o: _policy_ff(W_blocks, b_blocks, o)
+
+    K = next(k for k in (8, 5, 4, 3, 2, 1) if Tc % k == 0)
+
+    def inner(jj, st, t0):
+        q, qd, tgt, cq, sq, fk = st
+        t = t0 + jj                          # block-local step index
+        if use_prng:
+            eps = _normals(n, q[0].shape[-1])
+        else:
+            eps = eps_ref[t]
+        q, qd, tgt, cq, sq, fk, obs, act, rew = _step3_fast(
+            c, mlp, sigma, q, qd, tgt, eps, cq, sq, fk, task_oh)
+        obs_out[t] = obs.astype(obs_out.dtype)
+        act_out[t] = act.astype(act_out.dtype)
+        rew_out[t] = rew
+        return (q, qd, tgt, cq, sq, fk)
+
+    def outer(o, st):
+        q, qd, tgt = st
+        cq = [jnp.cos(x) for x in q]
+        sq = [jnp.sin(x) for x in q]
+        fk = _fk3(c, cq, sq)
+        st2 = jax.lax.fori_loop(0, K, lambda jj, s: inner(jj, s, o * K),
+                                (q, qd, tgt, cq, sq, fk))
+        return st2[:3]
+
+    qf, qdf, tgtf = jax.lax.fori_loop(0, Tc // K, outer, (q, qd, tgt))
+    state_ref[0:n] = jnp.concatenate(qf, axis=0)
+    state_ref[n:2 * n] = jnp.concatenate(qdf, axis=0)
+    state_ref[2 * n:2 * n + 3] = jnp.concatenate(list(tgtf), axis=0)
+
+
 def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
                      n_envs=None, eps=None, block_b: int = 512,
                      interpret: bool = False, q0=None, qd0=None,
-                     tgt=None, task=None, store_dtype=None):
+                     tgt=None, task=None, store_dtype=None,
+                     t_chunk=None):
     """Fused 3-D rollout. Same contract as envs/arm.py:rollout.
 
     store_dtype=bf16 emits obs_ff/actions_ff in bf16 straight from the
@@ -654,7 +799,31 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
 
     bb = min(block_b, N)
     assert N % bb == 0
-    grid = (N // bb,)
+    terminating = cfg.done_dist > 0.0
+    assert not terminating or eps is None, \
+        "in-kernel early termination resamples episodes from the " \
+        "on-chip PRNG; the eps twin mode runs fixed-horizon only"
+    # T-chunked grid (round 4): chunk dim innermost/sequential; state
+    # carried in VMEM scratch; double-buffered output block shrinks by
+    # T/Tc so the env tile can widen to 1024 (see
+    # _rollout3d_kernel_chunked). Terminating configs keep the
+    # unchunked kernel (in-kernel resets need per-step exact FK anyway).
+    chunked = (t_chunk is not None and 0 < t_chunk < T
+               and not terminating)
+    if chunked:
+        assert T % t_chunk == 0, (T, t_chunk)
+        Tc = t_chunk
+        n_chunks = T // Tc
+        grid = (N // bb, n_chunks)
+        env_ix = lambda i, j: (0, i)
+        const_ix = lambda nd: (lambda i, j: (0,) * nd)
+        t_ix = lambda i, j: (j, 0, i)
+    else:
+        Tc = T
+        grid = (N // bb,)
+        env_ix = lambda i: (0, i)
+        const_ix = lambda nd: (lambda i: (0,) * nd)
+        t_ix = lambda i: (0, 0, i)
 
     q0_ff = q0.T
     qd0_ff = qd0.T
@@ -670,9 +839,9 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
     if pack2:
         Ws, bs = pack2_weights(Ws, [b[:, 0] for b in bs])
 
-    batch_in = lambda d: pl.BlockSpec((d, bb), lambda i: (0, i),
+    batch_in = lambda d: pl.BlockSpec((d, bb), env_ix,
                                       memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+    full = lambda shape: pl.BlockSpec(shape, const_ix(len(shape)),
                                       memory_space=pltpu.VMEM)
     in_specs = [batch_in(n), batch_in(n), batch_in(3)]
     inputs = [q0_ff, qd0_ff, tgt_ff]
@@ -688,22 +857,19 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
 
     use_prng = eps is None
     if use_prng:
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((1, 1), const_ix(2),
                                      memory_space=pltpu.SMEM))
         inputs.append(seed)
     else:
         eps_ff = jnp.swapaxes(eps, 1, 2)          # (T, N, n) -> (T, n, N)
-        in_specs.append(pl.BlockSpec((T, n, bb), lambda i: (0, 0, i),
+        in_specs.append(pl.BlockSpec((Tc, n, bb), t_ix,
                                      memory_space=pltpu.VMEM))
         inputs.append(eps_ff)
 
     out_specs = [
-        pl.BlockSpec((T, do, bb), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, n, bb), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tc, do, bb), t_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tc, n, bb), t_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tc, 1, bb), t_ix, memory_space=pltpu.VMEM),
     ]
     st_dt = store_dtype or jnp.float32
     vma = out_vma(inputs)
@@ -712,35 +878,41 @@ def pallas_rollout3d(cfg: ExperimentConfig, params, key_or_seed,
         jax.ShapeDtypeStruct((T, n, N), st_dt, vma=vma),
         jax.ShapeDtypeStruct((T, 1, N), jnp.float32, vma=vma),
     ]
-    terminating = cfg.done_dist > 0.0
-    assert not terminating or use_prng, \
-        "in-kernel early termination resamples episodes from the " \
-        "on-chip PRNG; the eps twin mode runs fixed-horizon only"
     if terminating:
-        out_specs.append(pl.BlockSpec((T, 1, bb), lambda i: (0, 0, i),
+        out_specs.append(pl.BlockSpec((Tc, 1, bb), t_ix,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, 1, N), jnp.float32,
                                               vma=vma))
 
-    kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng,
-                               terminating, pack2)
+    if chunked:
+        kernel = functools.partial(_rollout3d_kernel_chunked, c, Tc,
+                                   n_chunks, L, use_prng, pack2)
+        scratch = [pltpu.VMEM((2 * n + 3, bb), jnp.float32)]
+    else:
+        kernel = functools.partial(_rollout3d_kernel, c, T, L, use_prng,
+                                   terminating, pack2)
+        scratch = []
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=interpret)(*inputs)
+        out_shape=out_shape, scratch_shapes=scratch,
+        interpret=interpret)(*inputs)
     obs_ff, act_ff, rew_ff = outs[:3]
 
-    # obs_ff: kernel-native feature-first layout for the baseline
-    # normal equations (see rollout_kernel.py / trpo/update.py)
+    # obs_ff/rewards_ff: kernel-native feature-first views — the ff
+    # update pipeline runs (T, N) end-to-end on them, so the batch-major
+    # copies here are dead code in the fused train step (rollout_kernel)
     f32 = jnp.float32
     batch = dict(obs=jnp.transpose(obs_ff, (2, 0, 1)).astype(f32),
                  actions=jnp.transpose(act_ff, (2, 0, 1)).astype(f32),
                  rewards=jnp.transpose(rew_ff[:, 0, :], (1, 0)),
-                 obs_ff=obs_ff, actions_ff=act_ff)
+                 obs_ff=obs_ff, actions_ff=act_ff,
+                 rewards_ff=rew_ff[:, 0, :])
     if terminating:
         # the final step always terminates (fixed buffer end, no
         # bootstrap) — same convention as envs/arm.py:rollout
-        dones = jnp.transpose(outs[3][:, 0, :], (1, 0))
-        batch["dones"] = dones.at[:, -1].set(1.0)
+        dones_tn = outs[3][:, 0, :].at[-1].set(1.0)
+        batch["dones_ff"] = dones_tn
+        batch["dones"] = dones_tn.T
     return batch
 
 

@@ -184,9 +184,13 @@ def make_sharded_train_step(cfg: ExperimentConfig, mesh: Mesh,
 
 def _key_spec(k):
     """Batch-dict sharding: envs on axis 0, except the fused kernels'
-    feature-first obs (T, do, N) with envs on the LAST axis."""
-    return P(None, None, DATA_AXIS) if k in ("obs_ff", "actions_ff") \
-        else P(DATA_AXIS)
+    feature-first views — (T, d, N) obs/actions and (T, N)
+    rewards/dones — with envs on the LAST axis."""
+    if k in ("obs_ff", "actions_ff"):
+        return P(None, None, DATA_AXIS)
+    if k in ("rewards_ff", "dones_ff"):
+        return P(None, DATA_AXIS)
+    return P(DATA_AXIS)
 
 
 def make_sharded_update(cfg: ExperimentConfig, mesh: Mesh,
