@@ -149,6 +149,28 @@ def main():
     check("3D chunked PRNG deterministic+finite",
           det and fin and 0.05 < spread < 5.0, f"spread {spread:.3f}")
 
+    # ---- fused baseline-moments kernel compiled vs twin (round 4):
+    # fp32 (near-exact) and the production bf16 storage mode (bounded)
+    from trpo_robot_control_tpu.models import baseline as bl
+    from trpo_robot_control_tpu.ops.pallas.moments_kernel import (
+        pallas_baseline_moments)
+    T_m, do_m, N_m = 16, 27, 1024
+    km = jax.random.split(jax.random.PRNGKey(21))
+    obs_m = jax.random.normal(km[0], (T_m, do_m, N_m), jnp.float32)
+    y_m = 5.0 * jax.random.normal(km[1], (T_m, N_m), jnp.float32)
+    for tag, o in (("fp32", obs_m), ("bf16", obs_m.astype(jnp.bfloat16))):
+        A_t, b_t = jax.jit(lambda oo: bl.normal_eq_ff(oo, y_m, T_m))(o)
+        A_k, b_k = jax.jit(lambda oo: pallas_baseline_moments(
+            oo, y_m, T_m))(o)
+        err = max(float(jnp.max(jnp.abs(A_k - A_t)))
+                  / float(jnp.max(jnp.abs(A_t))),
+                  float(jnp.max(jnp.abs(b_k - b_t)))
+                  / float(jnp.max(jnp.abs(b_t))))
+        # bf16 mode additionally rounds tau inside C (~2^-8 relative)
+        bound = 1e-5 if tag == "fp32" else 6e-3
+        check(f"moments kernel == twin ({tag})", err < bound,
+              f"rel err {err:.2e}")
+
     # ---- in-kernel early termination (done flags + PRNG auto-reset)
     # Exact semantic check: for the reach task, the kernel's reward is
     # r_t = -(dist2 + w*ctrl) at the post-step state, so

@@ -76,9 +76,15 @@ def run_production_stack(n_iters=5):
     from trpo_robot_control_tpu.trpo.update import trpo_update
 
     # horizon 16: divisible by fvp_subsample=8 (ff-path stride
-    # precondition) and by the fast path's trig-refresh period K=8
-    cfg = C3_FRANKA7.replace(n_envs=256, horizon=16)
+    # precondition) and by the fast path's trig-refresh period K=8.
+    # moments_impl forced so the fused moments kernel's math is pinned
+    # on the CPU backend too (auto resolves to the XLA twin off-TPU).
+    import dataclasses
+    cfg = C3_FRANKA7.replace(
+        n_envs=256, horizon=16,
+        trpo=dataclasses.replace(C3_FRANKA7.trpo, moments_impl="pallas"))
     assert cfg.trpo.ff_store_dtype == "bf16"      # the shipped c3 mode
+    assert cfg.trpo.ls_subsample == 8             # the shipped line search
     assert pack2_ok(cfg, 256), "must pin the pack2-active kernel"
     state = init_state(cfg, seed=0)
 

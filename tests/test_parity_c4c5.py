@@ -22,15 +22,18 @@ from trpo_robot_control_tpu.trpo.update import trpo_update as jax_update
 
 import dataclasses
 
-# parity compares EXACT math (stride-1 FVP); the driver configs' Fisher
-# subsample is a separate, separately-bounded estimator change
-# (tests/test_fvp_subsample.py)
+# parity compares EXACT math (stride-1 FVP, exact line search); the
+# driver configs' Fisher / line-search subsamples are separate,
+# separately-bounded estimator changes (tests/test_fvp_subsample.py,
+# tests/test_ls_subsample.py)
 C4 = C4_FRANKA7_OBSTACLE.replace(
     n_envs=12, horizon=20,
-    trpo=dataclasses.replace(C4_FRANKA7_OBSTACLE.trpo, fvp_subsample=1))
+    trpo=dataclasses.replace(C4_FRANKA7_OBSTACLE.trpo, fvp_subsample=1,
+                             ls_subsample=1))
 C5 = C5_MULTITASK.replace(
     n_envs=18, horizon=20,
-    trpo=dataclasses.replace(C5_MULTITASK.trpo, fvp_subsample=1))
+    trpo=dataclasses.replace(C5_MULTITASK.trpo, fvp_subsample=1,
+                             ls_subsample=1))
 
 
 def _setup(cfg, seed=0):

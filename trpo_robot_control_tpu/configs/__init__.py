@@ -81,11 +81,19 @@ C2_REACHER3 = ExperimentConfig(
 # fp32 (scripts/ab_bf16.py; docs/performance.md). Gradient/moment error
 # bounds: tests/test_ff_baseline.py. fvp_subsample stays 8 — measured
 # at the cosine cliff's edge (scripts/measure_c45_stride.py).
+# ls_subsample=8 (round 4, scripts/measure_ls_subsample.py): the
+# line-search acceptance statistics are estimated on a 1/8 env-strided
+# subsample — measured at full scale: accepted-k agreement 139/140
+# iterations across c3-c5 (the one miss a near-boundary half-step),
+# KL estimate within 2.7%, and a 40-iter full-scale c4 convergence A/B
+# indistinguishable from exact (last5 -87.2 vs -88.5). Saves one full
+# forward pass over the batch per candidate eval (~8.6 ms at c5).
 C3_FRANKA7 = ExperimentConfig(
     name="c3_franka7",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16",
+                  ls_subsample=8),
     n_envs=4096, horizon=200, n_iters=300, seed=0,
 )
 
@@ -94,7 +102,8 @@ C4_FRANKA7_OBSTACLE = ExperimentConfig(
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001, obstacle_weight=1.0,
                   obstacle_radius=0.15),
-    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16",
+                  ls_subsample=8),
     n_envs=16384, horizon=200, n_iters=300, seed=0,
 )
 
@@ -102,7 +111,8 @@ C5_MULTITASK = ExperimentConfig(
     name="c5_multitask",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16"),
+    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16",
+                  ls_subsample=8),
     n_envs=65536, horizon=200, n_iters=500, seed=0,
     n_tasks=3,
 )

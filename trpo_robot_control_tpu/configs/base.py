@@ -118,10 +118,27 @@ class TRPOSpec:
     # FVP implementation: "auto" -> fused Pallas kernel on TPU, else the
     # jax.linearize XLA form ("xla"); "kl" = jvp(grad(KL)) reference.
     fvp_impl: str = "auto"
+    # Baseline normal-equation moments (ff path): "auto" -> fused Pallas
+    # moments kernel on TPU when the env tile lane-aligns (one HBM pass
+    # over obs_ff instead of the XLA form's concat+Gram+cross, measured
+    # 10.5 -> ~1.5 ms at c5; ops/pallas/moments_kernel.py), else the
+    # normal_eq_ff twin ("xla"); "pallas" forces the kernel (interpret
+    # mode on CPU — tests/golden).
+    moments_impl: str = "auto"
     # Evaluate the Fisher on every k-th sample (classic TRPO
     # subsample_factor). 1 = exact (parity configs); larger values trade
     # a little Fisher estimation noise for proportionally cheaper CG.
     fvp_subsample: int = 1
+    # Evaluate the LINE-SEARCH acceptance tests (surrogate improvement
+    # and mean KL <= delta) on every k-th sample. Both are batch
+    # expectations, so like fvp_subsample this is an estimator change,
+    # not an algorithm change: at the adopted stride the estimates keep
+    # >1e6 samples (sigma ~ 1e-3 relative) and the IMPROVEMENT test is
+    # paired (surr_old re-estimated on the same subsample), cancelling
+    # the sample-selection noise. 1 = exact (parity configs); bounded by
+    # tests/test_ls_subsample.py + the full-scale accepted-k agreement
+    # A/B in docs/performance.md.
+    ls_subsample: int = 1
     # Value baseline (SURVEY.md section 3: "linear time-feature fit or
     # small MLP"): "linear" = ridge normal-equation fit on phi(s, t)
     # (the oracle-parity choice); "mlp" = small tanh MLP on the same

@@ -91,7 +91,25 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     targets = adv_raw + values
 
     if obs_ff is not None:
-        A_loc, b_loc = baseline.normal_eq_ff(obs_ff, targets, cfg.horizon)
+        # moments: fused Pallas kernel reads obs_ff ONCE (the XLA twin
+        # materialises the (T, 2do+1, N) v-concat and re-reads it —
+        # 10.5 -> ~1.5 ms at c5; ops/pallas/moments_kernel.py)
+        m_impl = tr.moments_impl
+        if m_impl == "auto":
+            m_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        if m_impl == "pallas":
+            from ..ops.pallas.moments_kernel import (moments_tiles,
+                                                     pallas_baseline_moments)
+            if moments_tiles(obs_ff.shape[0], obs_ff.shape[2])[0]:
+                A_loc, b_loc = pallas_baseline_moments(
+                    obs_ff, targets, cfg.horizon,
+                    interpret=jax.default_backend() == "cpu")
+            else:                  # no lane-aligned env tile
+                A_loc, b_loc = baseline.normal_eq_ff(obs_ff, targets,
+                                                     cfg.horizon)
+        else:
+            A_loc, b_loc = baseline.normal_eq_ff(obs_ff, targets,
+                                                 cfg.horizon)
         A = _psum(A_loc, axis_name) \
             + tr.baseline_reg * jnp.eye(A_loc.shape[0], dtype=A_loc.dtype)
         b_vec = _psum(b_loc, axis_name)
@@ -191,29 +209,78 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     xhx = jnp.dot(x, g) - jnp.dot(x, r_final)
     beta = jnp.sqrt(2.0 * tr.delta / (xhx + 1e-12))
 
-    # ---- 6) backtracking line search (on-device while_loop)
+    # ---- 6) backtracking line search (on-device while_loop). With
+    # ls_subsample = k > 1 the acceptance statistics are estimated on a
+    # 1/k subsample of ENVS — like the Fisher (fvp_subsample above),
+    # the surrogate and KL are batch expectations, and each candidate
+    # eval is a full forward pass over the batch (~10 ms at c5 scale),
+    # so the subsampled estimate costs 1/k. The subsample unit must be
+    # whole TRAJECTORIES, not a time stride: GAE advantages and the
+    # state distribution are strongly time-structured, so a t % k slice
+    # is a BIASED estimator (measured: KL off 2-3x, mean adv off ~9
+    # sigma at c3-small), while envs are i.i.d. by construction (reset
+    # state, task family, and action noise are all per-env random), so
+    # the contiguous env prefix — the cheapest slice of the kernels'
+    # lane-minor (T, d, N) layout — is an unbiased one. surr_old is
+    # re-estimated on the SAME envs (ratio == 1 at theta_old, so it is
+    # the subsample's mean advantage), making the improvement test a
+    # paired comparison. The env slice is STRIDED (every k-th env), not
+    # a prefix: with local N % k == 0 the union of per-shard strided
+    # sets equals the global strided set, so the subsample — and hence
+    # the accepted exponent — is sharding-invariant (the sharded ==
+    # unsharded contract of test_sharding.py / dryrun_multichip).
+    # Estimator bounds: tests/test_ls_subsample.py; full-scale
+    # accepted-k agreement + convergence A/B: docs/performance.md.
+    k_ls = tr.ls_subsample
+    if k_ls > 1:
+        assert N % k_ls == 0, (
+            "ls_subsample needs (local) n_envs % ls_subsample == 0 so "
+            "the strided env set is sharding-invariant; got N="
+            f"{N}, k={k_ls}")
+        if ff:
+            obs_ls, act_ls = obs_ff[..., ::k_ls], act_ff[..., ::k_ls]
+            adv_ls = adv_ff[:, ::k_ls]
+            mu_old_ls = mu_old_ff[..., ::k_ls]
+            logp_old_ls = logp_old_ff[:, ::k_ls]
+        else:
+            # obs_f is n-major: slice envs before flattening
+            obs_ls = obs[::k_ls].reshape(-1, do)
+            act_ls = actions[::k_ls].reshape(-1, da)
+            adv_ls = adv[::k_ls].reshape(-1)
+            mu_old_ls = mu_old.reshape(N, T, da)[::k_ls].reshape(-1, da)
+            logp_old_ls = logp_old.reshape(N, T)[::k_ls].reshape(-1)
+        surr_old_ls = _pmean(jnp.mean(adv_ls), axis_name)
+    else:
+        if ff:
+            obs_ls, act_ls, adv_ls = obs_ff, act_ff, adv_ff
+            mu_old_ls, logp_old_ls = mu_old_ff, logp_old_ff
+        else:
+            obs_ls, act_ls, adv_ls = obs_f, act_f, adv_f
+            mu_old_ls, logp_old_ls = mu_old, logp_old
+        surr_old_ls = surr_old
+
     def eval_fn(theta_c):
         p = unravel(theta_c)
         if ff:
             mu, logstd = policy.dist_ff(
-                p, obs_ff, hs=policy.hidden_ff(p, obs_ff,
+                p, obs_ls, hs=policy.hidden_ff(p, obs_ls,
                                                store_dtype=store))
-            logp = policy.log_prob_ff(mu, logstd, act_ff)
-            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old_ff) * adv_ff),
+            logp = policy.log_prob_ff(mu, logstd, act_ls)
+            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old_ls) * adv_ls),
                           axis_name)
-            kl = _pmean(policy.kl_ff(mu_old_ff, logstd_old, mu, logstd),
+            kl = _pmean(policy.kl_ff(mu_old_ls, logstd_old, mu, logstd),
                         axis_name)
         else:
-            mu, logstd = policy.dist(p, obs_f)
-            logp = policy.log_prob(mu, logstd, act_f)
-            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old) * adv_f),
+            mu, logstd = policy.dist(p, obs_ls)
+            logp = policy.log_prob(mu, logstd, act_ls)
+            surr = _pmean(jnp.mean(jnp.exp(logp - logp_old_ls) * adv_ls),
                           axis_name)
-            kl = _pmean(policy.kl(mu_old, logstd_old, mu, logstd),
+            kl = _pmean(policy.kl(mu_old_ls, logstd_old, mu, logstd),
                         axis_name)
         return surr, kl
 
     theta_new, accepted, kl_new, surr_new = line_search(
-        eval_fn, theta_old, beta * x, surr_old, tr.delta,
+        eval_fn, theta_old, beta * x, surr_old_ls, tr.delta,
         tr.ls_steps, tr.ls_backtrack)
     new_params = unravel(theta_new)
 
