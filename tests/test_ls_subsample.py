@@ -3,11 +3,12 @@ line-search acceptance statistics (surrogate improvement, mean KL) are
 batch expectations, so c3-c5 estimate them on a 1/8 ENV subsample — each
 candidate eval is a full forward pass over the batch (~10 ms at c5), so
 the strided estimate costs 1/8. The subsample unit is whole
-trajectories (a contiguous env prefix): envs are i.i.d. by construction
-(reset state, task family, action noise all per-env random), while a
-TIME stride is a measurably biased estimator (GAE advantages and the
-state distribution are time-structured; measured at c3-small: KL off
-2-3x, mean adv off ~9 sigma — docs/performance.md).
+trajectories (every 8th env, a sharding-invariant strided set): envs
+are i.i.d. by construction (reset state, task family, action noise all
+per-env random), while a TIME stride is a measurably biased estimator
+(GAE advantages and the state distribution are time-structured;
+measured at c3-small: KL off 2-3x, mean adv off ~9 sigma —
+docs/performance.md).
 
 These tests pin (a) accepted-k agreement and the resulting parameter
 equality at c3-small scale, and (b) the KL estimate's relative error.
@@ -18,6 +19,7 @@ import dataclasses
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from trpo_robot_control_tpu.configs import C3_FRANKA7
 from trpo_robot_control_tpu.envs import arm
@@ -67,13 +69,14 @@ def test_ls_subsample_same_accept_and_params():
     assert max(kl_errs) < 0.35, kl_errs
 
 
-def test_ls_subsample_env_prefix_unbiased_vs_time_stride():
+def test_ls_subsample_env_stride_unbiased_vs_time_stride():
     """Regression pin for the estimator DESIGN: on a real advantage
-    batch the env-prefix subsample's mean advantage must sit within a
-    few standard errors of the full-batch (whitened) mean ~0, while the
-    time-strided slice is allowed to be far outside — it was measured
-    ~9 sigma off, which is exactly why the env axis was chosen. Guards
-    against someone 'simplifying' the slice back to a time stride."""
+    batch the SHIPPED strided-env subsample's (adv[::8], update.py
+    k_ls branch) mean advantage must sit within a few standard errors
+    of the full-batch (whitened) mean ~0, while the time-strided slice
+    is allowed to be far outside — it was measured ~9 sigma off, which
+    is exactly why the env axis was chosen. Guards against someone
+    'simplifying' the slice back to a time stride."""
     cfg = _cfg(1, n_envs=256, horizon=24)
     state = init_state(cfg, seed=0)
     batch = jax.jit(lambda p, k: arm.rollout(cfg, p, policy.sample, k))(
@@ -87,6 +90,40 @@ def test_ls_subsample_env_prefix_unbiased_vs_time_stride():
     adv = (adv_raw - adv_raw.mean()) / (adv_raw.std() + 1e-8)  # (N, T)
     adv = np.asarray(adv)
     n, t = adv.shape
-    env_prefix = adv[: n // 8].mean()
-    sem_env = 1.0 / np.sqrt(adv[: n // 8].size)      # whitened: std ~ 1
-    assert abs(env_prefix) < 6 * sem_env, (env_prefix, sem_env)
+    env_strided = adv[::8].mean()
+    sem_env = 1.0 / np.sqrt(adv[::8].size)           # whitened: std ~ 1
+    assert abs(env_strided) < 6 * sem_env, (env_strided, sem_env)
+
+
+def test_ls_subsample_obs_ff_without_actions_ff_alignment():
+    """ADVICE r4 (medium): with obs_ff present but actions_ff absent
+    and ls_subsample > 1, adv is (T, N) — the env-strided line-search
+    slice must transpose it first (update.py k_ls non-ff branch) or the
+    candidate surrogates pair ratios with the WRONG advantages. The
+    obs_ff-augmented batch must agree with the plain batch on the
+    accepted exponent and (to fp32-reassociation noise; the ff baseline
+    pipeline is the same math reassociated) the line-search stats."""
+    cfg = _cfg(8)
+    state = init_state(cfg, seed=0)
+    batch = jax.jit(lambda p, k: arm.rollout(cfg, p, policy.sample, k))(
+        state.params, jax.random.PRNGKey(3))
+    assert "obs_ff" not in batch
+    batch_ff = dict(batch,
+                    obs_ff=jnp.transpose(batch["obs"], (1, 2, 0)))
+    upd = jax.jit(lambda p, w, b: trpo_update(cfg, p, w, b))
+    p1, _, s1 = upd(state.params, state.w, batch)
+    p2, _, s2 = upd(state.params, state.w, batch_ff)
+    assert int(s1["accepted"]) == int(s2["accepted"]), (
+        s1["accepted"], s2["accepted"])
+    # the subsampled surrogate is the adv-sensitive statistic: the
+    # misaligned pairing decorrelates ratio and advantage, destroying
+    # the improvement signal entirely (observed: sign flip), while
+    # reassociation noise is ~1e-6 relative
+    np.testing.assert_allclose(float(s1["surr"]), float(s2["surr"]),
+                               rtol=5e-3, atol=1e-8)
+    np.testing.assert_allclose(float(s1["kl"]), float(s2["kl"]),
+                               rtol=5e-3, atol=1e-10)
+    for name in p1:
+        np.testing.assert_allclose(np.asarray(p1[name]),
+                                   np.asarray(p2[name]),
+                                   rtol=2e-4, atol=2e-6)

@@ -172,7 +172,8 @@ def make_rollout_fn(cfg: ExperimentConfig):
     # covers reach/track/push + obstacle for ANY arm, planar included
     planar_ok = planar and cfg.n_tasks == 1 and cfg.cost.obstacle_weight == 0.0
     if impl == "auto":
-        on_tpu = _jax.default_backend() != "cpu"
+        # == "tpu", not != "cpu": Mosaic kernels have no GPU lowering
+        on_tpu = _jax.default_backend() == "tpu"
         if not on_tpu:
             impl = "xla"
         else:

@@ -96,9 +96,17 @@ def normal_eq_ff(obs_ff, targets_tn, horizon: int):
     tau = _time_features(T, horizon, f32)                   # (T, 4)
     y_ff = targets_tn[:, None, :].astype(dt)                # (T, 1, N)
     v = jnp.concatenate([obs_ff, obs_ff * obs_ff, y_ff], axis=1)
-    G = jnp.einsum("tfn,tgn->fg", v, v,
+    # fp32 mode: HIGHEST forces full-precision MXU passes — at DEFAULT
+    # the TPU rounds fp32 dot operands to bf16 (measured 1.9e-3 rel err
+    # vs fp64 on-chip), which silently degraded the c1/c2 fit and broke
+    # the 1e-5 kernel<->twin check. bf16 mode keeps DEFAULT (a bf16
+    # operand stream is already exact per pass; matches the kernel).
+    prec = (jax.lax.Precision.HIGHEST if dt == f32
+            else jax.lax.Precision.DEFAULT)
+    G = jnp.einsum("tfn,tgn->fg", v, v, precision=prec,
                    preferred_element_type=f32)   # [[A_uu, b_u], ...]
-    C = jnp.einsum("tfn,tk->fk", v.astype(f32), tau)  # [A_ut; b_tau^T]
+    C = jnp.einsum("tfn,tk->fk", v.astype(f32), tau,
+                   precision=jax.lax.Precision.HIGHEST)  # fp32 operands
     A_tt = N * (tau.T @ tau)
     F = 2 * do + 4
     A = jnp.zeros((F, F), f32)

@@ -100,8 +100,16 @@ def _moments_kernel(tc, n_acc, *refs):
         v = jnp.concatenate(
             [ot, ot * ot, yt,
              jnp.broadcast_to(taut, (4, bn)).astype(ot.dtype)], axis=0)
+        # fp32 mode: HIGHEST matches the twin's full-precision passes
+        # (Mosaic's DEFAULT rounds fp32 operands to bf16 — see
+        # normal_eq_ff). bf16 mode must stay DEFAULT: Mosaic rejects
+        # an fp32 contract_precision on bf16 operands ("Bad lhs type"),
+        # and a bf16 operand stream is already exact per pass.
+        prec = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         acc_ref[t % n_acc] += jax.lax.dot_general(
             v, v, (((1,), (1,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)
 
     @pl.when(jnp.logical_and(i == ni - 1, j == nj - 1))

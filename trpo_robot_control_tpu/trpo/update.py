@@ -96,7 +96,10 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
         # 10.5 -> ~1.5 ms at c5; ops/pallas/moments_kernel.py)
         m_impl = tr.moments_impl
         if m_impl == "auto":
-            m_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+            # the Mosaic kernel only lowers on TPU; any other backend
+            # (CPU, GPU) takes the XLA twin (interpret-mode coverage of
+            # the kernel lives in tests, not the auto path)
+            m_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if m_impl == "pallas":
             from ..ops.pallas.moments_kernel import (moments_tiles,
                                                      pallas_baseline_moments)
@@ -170,7 +173,9 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     #          SURVEY.md section 5.2 — here: traced matvecs + pmean on ICI)
     impl = tr.fvp_impl if fvp_form == "gn" else "kl"
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # same TPU-only gate as moments_impl above: Mosaic doesn't
+        # lower on GPU; explicit "pallas" on CPU still runs interpret
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     # classic TRPO subsample_factor: the Fisher is an expectation — a
     # strided subsample estimates it at 1/k the CG cost (stride keeps the
     # subsample spread across envs and timesteps deterministically). On
@@ -220,15 +225,14 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # is a BIASED estimator (measured: KL off 2-3x, mean adv off ~9
     # sigma at c3-small), while envs are i.i.d. by construction (reset
     # state, task family, and action noise are all per-env random), so
-    # the contiguous env prefix — the cheapest slice of the kernels'
-    # lane-minor (T, d, N) layout — is an unbiased one. surr_old is
-    # re-estimated on the SAME envs (ratio == 1 at theta_old, so it is
-    # the subsample's mean advantage), making the improvement test a
-    # paired comparison. The env slice is STRIDED (every k-th env), not
-    # a prefix: with local N % k == 0 the union of per-shard strided
-    # sets equals the global strided set, so the subsample — and hence
-    # the accepted exponent — is sharding-invariant (the sharded ==
-    # unsharded contract of test_sharding.py / dryrun_multichip).
+    # any fixed env subset is an unbiased one. The env slice is STRIDED
+    # (every k-th env): with local N % k == 0 the union of per-shard
+    # strided sets equals the global strided set, so the subsample —
+    # and hence the accepted exponent — is sharding-invariant (the
+    # sharded == unsharded contract of test_sharding.py /
+    # dryrun_multichip). surr_old is re-estimated on the SAME envs
+    # (ratio == 1 at theta_old, so it is the subsample's mean
+    # advantage), making the improvement test a paired comparison.
     # Estimator bounds: tests/test_ls_subsample.py; full-scale
     # accepted-k agreement + convergence A/B: docs/performance.md.
     k_ls = tr.ls_subsample
@@ -243,10 +247,14 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             mu_old_ls = mu_old_ff[..., ::k_ls]
             logp_old_ls = logp_old_ff[:, ::k_ls]
         else:
-            # obs_f is n-major: slice envs before flattening
+            # obs_f is n-major: slice envs before flattening. adv is
+            # (T, N) when obs_ff is present without actions_ff (the
+            # combination line ~136 supports) — mirror adv_f's
+            # transpose so the stride hits the ENV axis, not time.
             obs_ls = obs[::k_ls].reshape(-1, do)
             act_ls = actions[::k_ls].reshape(-1, da)
-            adv_ls = adv[::k_ls].reshape(-1)
+            adv_ls = (adv.T if obs_ff is not None
+                      else adv)[::k_ls].reshape(-1)
             mu_old_ls = mu_old.reshape(N, T, da)[::k_ls].reshape(-1, da)
             logp_old_ls = logp_old.reshape(N, T)[::k_ls].reshape(-1)
         surr_old_ls = _pmean(jnp.mean(adv_ls), axis_name)
