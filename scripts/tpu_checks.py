@@ -171,6 +171,35 @@ def main():
         check(f"moments kernel == twin ({tag})", err < bound,
               f"rel err {err:.2e}")
 
+    # ---- fused surrogate-gradient kernel compiled vs twin (round 5).
+    # Both sides stream the MXU at operand-rounded (bf16) precision when
+    # compiled, with different associations — the bounds cover that
+    # association noise (the exact-math equivalence is pinned by the
+    # interpret-mode CI tests, tests/test_pallas_pg.py).
+    from trpo_robot_control_tpu.ops.pallas.pg_kernel import (
+        pallas_surrogate_grad_ff)
+    T_p, do_p, da_p, N_p = 16, 27, 7, 1024
+    kp = jax.random.split(jax.random.PRNGKey(23), 3)
+    obs_p = jax.random.normal(kp[0], (T_p, do_p, N_p), jnp.float32)
+    act_p = 0.5 * jax.random.normal(kp[1], (T_p, da_p, N_p), jnp.float32)
+    adv_p = jax.random.normal(kp[2], (T_p, N_p), jnp.float32)
+    params_pg = policy.init_params(jax.random.PRNGKey(3), do_p, da_p,
+                                   (64, 64), -0.5)
+    for tag, store in (("fp32", None), ("bf16", jnp.bfloat16)):
+        o_p = obs_p if store is None else obs_p.astype(store)
+        a_p = act_p if store is None else act_p.astype(store)
+        gt, mut, _ = jax.jit(lambda o, a: policy.surrogate_grad_ff(
+            params_pg, o, a, adv_p, store_dtype=store))(o_p, a_p)
+        gk, muk, _ = jax.jit(lambda o, a: pallas_surrogate_grad_ff(
+            params_pg, o, a, adv_p))(o_p, a_p)
+        err = max(float(jnp.max(jnp.abs(gk[k] - gt[k].astype(jnp.float32))))
+                  / (float(jnp.max(jnp.abs(gt[k]))) + 1e-12) for k in gt)
+        mu_err = float(jnp.max(jnp.abs(muk - mut.astype(jnp.float32))))
+        bound = 5e-3 if tag == "fp32" else 5e-2
+        check(f"pg kernel == twin ({tag})",
+              err < bound and mu_err < (0.01 if tag == "fp32" else 0.1),
+              f"g rel err {err:.2e}, mu err {mu_err:.2e}")
+
     # ---- in-kernel early termination (done flags + PRNG auto-reset)
     # Exact semantic check: for the reach task, the kernel's reward is
     # r_t = -(dist2 + w*ctrl) at the post-step state, so

@@ -125,6 +125,13 @@ class TRPOSpec:
     # normal_eq_ff twin ("xla"); "pallas" forces the kernel (interpret
     # mode on CPU — tests/golden).
     moments_impl: str = "auto"
+    # Surrogate policy gradient (ff path): "auto" -> fused Pallas
+    # kernel on TPU when the env tile lane-aligns (reads obs/act/adv
+    # ONCE, activations and cotangents never touch HBM — measured
+    # 1.6 -> 0.6 ms at c3, 37 -> 12.6 ms at c5 vs the XLA form;
+    # ops/pallas/pg_kernel.py), else the surrogate_grad_ff twin
+    # ("xla"); "pallas" forces the kernel (interpret mode on CPU).
+    surrgrad_impl: str = "auto"
     # Evaluate the Fisher on every k-th sample (classic TRPO
     # subsample_factor). 1 = exact (parity configs); larger values trade
     # a little Fisher estimation noise for proportionally cheaper CG.

@@ -150,8 +150,32 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
         act_ff = batch["actions_ff"]
         adv_ff = adv                                # already (T, N)
         store = jnp.bfloat16 if tr.ff_store_dtype == "bf16" else None
-        g_tree, mu_old_ff, logp_old_ff = policy.surrogate_grad_ff(
-            params, obs_ff, act_ff, adv_ff, store_dtype=store)
+        sg_impl = tr.surrgrad_impl
+        if sg_impl == "auto":
+            # kernel wins 2.8-3.0x at c3-c5 scale (B >= 819k) but is
+            # noise-to-slightly-worse at c2 (B = 102k, where the XLA
+            # form's matmuls already overlap to ~0 marginal cost) —
+            # scripts/probe_pg_kernel.py; gate at the measured
+            # crossover so tiny batches keep the twin
+            sg_impl = "pallas" if (jax.default_backend() == "tpu"
+                                   and B >= 400_000) else "xla"
+        if sg_impl == "pallas":
+            from ..ops.pallas.pg_kernel import (pallas_surrogate_grad_ff,
+                                                pg_tiles)
+            bn_pg, tc_pg = pg_tiles(T, N)
+            widths = [do, da] + [params[f"W{l}"].shape[1]
+                                 for l in range(policy.n_layers(params)
+                                                - 1)]
+            if not (bn_pg and N % (2 * bn_pg) == 0 and T % tc_pg == 0
+                    and max(widths) <= 64):
+                sg_impl = "xla"                 # no aligned tile
+        if sg_impl == "pallas":
+            g_tree, mu_old_ff, logp_old_ff = pallas_surrogate_grad_ff(
+                params, obs_ff, act_ff, adv_ff,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            g_tree, mu_old_ff, logp_old_ff = policy.surrogate_grad_ff(
+                params, obs_ff, act_ff, adv_ff, store_dtype=store)
         logstd_old = params["logstd"]
     else:
         mu_old, logstd_old = policy.dist(params, obs_f)
