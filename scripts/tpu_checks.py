@@ -200,6 +200,29 @@ def main():
               err < bound and mu_err < (0.01 if tag == "fp32" else 0.1),
               f"g rel err {err:.2e}, mu err {mu_err:.2e}")
 
+    # ---- ff-native FVP kernel compiled vs twin (round 5): same
+    # association-noise bounds as the pg check above; exact math is
+    # pinned by tests/test_pallas_fvp_ff.py in interpret mode.
+    from trpo_robot_control_tpu.ops.pallas.fvp_ff_kernel import (
+        make_pallas_gn_fvp_ff)
+    obs_ffvp = jax.random.normal(kp[0], (T_p, do_p, N_p), jnp.float32)
+    theta_pg, unravel_pg = ravel_pytree(params_pg)
+    v_pg = jax.random.normal(kp[2], theta_pg.shape)
+    for tag, store in (("fp32", None), ("bf16", jnp.bfloat16)):
+        o_f = obs_ffvp if store is None else obs_ffvp.astype(store)
+        flat = jnp.transpose(o_f.astype(jnp.float32),
+                             (0, 2, 1)).reshape(-1, do_p)
+        r_t = jax.jit(make_gn_fvp(params_pg, unravel_pg, flat, 0.1))(v_pg)
+        r_k = jax.jit(make_pallas_gn_fvp_ff(params_pg, unravel_pg, o_f,
+                                            0.1))(v_pg)
+        err = float(jnp.max(jnp.abs(r_k - r_t)) / jnp.max(jnp.abs(r_t)))
+        cos = float(jnp.dot(r_k, r_t)
+                    / (jnp.linalg.norm(r_k) * jnp.linalg.norm(r_t)))
+        bound = 5e-3 if tag == "fp32" else 2e-2
+        check(f"ff FVP kernel == twin ({tag})",
+              err < bound and cos > 0.9999,
+              f"rel err {err:.2e}, cosine {cos:.6f}")
+
     # ---- in-kernel early termination (done flags + PRNG auto-reset)
     # Exact semantic check: for the reach task, the kernel's reward is
     # r_t = -(dist2 + w*ctrl) at the post-step state, so

@@ -207,26 +207,50 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
     # layout: with T % k == 0 that selects the SAME sample set as
     # obs_f[::k] (t = 0 mod k for every env; the Fisher sum is order-
     # free), and only the small subsample gets relaid to (B/k, do).
+    obs_fvp = None
+    fvp = None
     if ff and tr.fvp_subsample > 1:
         assert obs_ff.shape[0] % tr.fvp_subsample == 0, (
             "ff-path fvp_subsample matches obs_f[::k] only when "
             "horizon %% fvp_subsample == 0; got T="
             f"{obs_ff.shape[0]}, k={tr.fvp_subsample}")
         sub = obs_ff[::tr.fvp_subsample]
-        # fp32 for the FVP kernel regardless of the storage dtype (the
-        # relayout only touches the small 1/k subsample)
-        obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do) \
-            .astype(jnp.float32)
+        # "pallas_bm" forces the batch-major kernel (the measurement /
+        # fallback arm for the ff-native kernel's A/Bs)
+        if impl == "pallas":
+            # round 5: the ff-native FVP kernel consumes the strided
+            # (T', do, N) subsample AS STORED — no relayout, no
+            # per-call activation re-reads (in-kernel recompute) —
+            # ops/pallas/fvp_ff_kernel.py
+            from ..ops.pallas.fvp_ff_kernel import make_pallas_gn_fvp_ff
+            from ..ops.pallas.pg_kernel import pg_tiles
+            Ts = sub.shape[0]
+            bn_f, tc_f = pg_tiles(Ts, N)
+            widths = [do, da] + [params[f"W{l}"].shape[1]
+                                 for l in range(policy.n_layers(params)
+                                                - 1)]
+            if (bn_f and N % (2 * bn_f) == 0 and Ts % tc_f == 0
+                    and max(widths) <= 64):
+                fvp = make_pallas_gn_fvp_ff(
+                    params, unravel, sub, tr.cg_damping,
+                    axis_name=axis_name,
+                    interpret=jax.default_backend() == "cpu")
+        if fvp is None:
+            # fp32 for the batch-major FVP kernel regardless of the
+            # storage dtype (the relayout only touches the 1/k
+            # subsample)
+            obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do) \
+                .astype(jnp.float32)
     else:
         obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 \
             else obs_f
-    if impl == "pallas":
+    if fvp is None and impl in ("pallas", "pallas_bm"):
         from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
         fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
                                  tr.cg_damping, axis_name=axis_name,
                                  block_b=2048,
                                  interpret=jax.default_backend() == "cpu")
-    else:
+    elif fvp is None:
         make_fvp = make_gn_fvp if impl != "kl" else make_kl_fvp
         fvp = make_fvp(params, unravel, obs_fvp, tr.cg_damping,
                        axis_name=axis_name)
