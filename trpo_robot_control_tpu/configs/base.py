@@ -115,8 +115,13 @@ class TRPOSpec:
     hidden: Tuple[int, ...] = (64, 64)
     logstd_init: float = -0.5
     baseline_reg: float = 1e-3     # ridge for the linear value baseline
-    # FVP implementation: "auto" -> fused Pallas kernel on TPU, else the
-    # jax.linearize XLA form ("xla"); "kl" = jvp(grad(KL)) reference.
+    # FVP implementation: "auto" -> fused Pallas kernel on TPU (the
+    # ff-native kernel when the batch is feature-first, tiles align,
+    # and the global subsample clears the measured crossover; the
+    # batch-major kernel otherwise), "pallas" forces the kernels
+    # (ff-native preferred, no size gate), "pallas_bm" forces the
+    # batch-major kernel (the A/B / fallback arm), "xla" = the
+    # jax.linearize form, "kl" = jvp(grad(KL)) reference.
     fvp_impl: str = "auto"
     # Baseline normal-equation moments (ff path): "auto" -> fused Pallas
     # moments kernel on TPU when the env tile lane-aligns (one HBM pass

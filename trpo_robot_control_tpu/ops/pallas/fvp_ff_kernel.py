@@ -45,7 +45,7 @@ from ...models import policy as policy_mod
 from .pg_kernel import _bd_pad, _col2, _fold2, _round8, pg_tiles
 
 
-def _fvp_ff_kernel(L, tc, n_acc, do, da, cdtype, *refs):
+def _fvp_ff_kernel(L, tc, n_acc, do, cdtype, *refs):
     """refs (inputs): obs (tc, do, 2bn); Wf[0..L] = bd(W_l); Wr[1..L] =
     bd(W_l^T); bcol[0..L] f32; dWf[0..L] = bd(dW_l); dbcol[0..L] f32;
     scale (2dap, 1) f32 (inv_var / B, pad rows 0);
@@ -183,7 +183,7 @@ def make_pallas_gn_fvp_ff(params, unravel, obs_sub_ff, damping: float,
     out_shape = [jax.ShapeDtypeStruct(s, f32) for s in M_shapes]
     scratch = [pltpu.VMEM((n_acc,) + s, f32) for s in M_shapes]
 
-    kernel = functools.partial(_fvp_ff_kernel, L, tc, n_acc, do, da,
+    kernel = functools.partial(_fvp_ff_kernel, L, tc, n_acc, do,
                                cdtype)
     call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,

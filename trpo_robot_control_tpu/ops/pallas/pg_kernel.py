@@ -92,6 +92,21 @@ def pg_tiles(T: int, N: int, block_n=None, t_chunk=None):
     return bn, tc
 
 
+def tiles_ok(T: int, N: int, params) -> bool:
+    """Single eligibility predicate for the lane-packed ff kernels
+    (this one and fvp_ff_kernel): an aligned (bn, tc) tile exists AND
+    every layer width fits the 64-column pack2 fold. The kernels
+    re-assert the same conditions; update.py's resolvers call this to
+    fall back to the XLA twins instead of tripping those asserts."""
+    bn, tc = pg_tiles(T, N)
+    if not (bn and N % (2 * bn) == 0 and T % tc == 0):
+        return False
+    L = policy_mod.n_layers(params) - 1
+    widths = [params["W0"].shape[0], params[f"W{L}"].shape[1]] \
+        + [params[f"W{l}"].shape[1] for l in range(L)]
+    return max(widths) <= 64
+
+
 def _fold2(m, pad, cdtype):
     """(r, 2*bn) -> (2*(r+pad), bn): lane halves onto sublane blocks
     (concat, not DUS — Mosaic has no in-kernel DUS when compiled)."""
@@ -106,7 +121,7 @@ def _fold2(m, pad, cdtype):
     return jnp.concatenate(parts, axis=0).astype(cdtype)
 
 
-def _pg_kernel(L, tc, n_acc, do, da, dims, cdtype, *refs):
+def _pg_kernel(L, tc, n_acc, do, da, cdtype, *refs):
     """refs (inputs): obs (tc, do, 2bn), act (tc, da, 2bn),
     adv (tc, 1, 2bn) f32, Wf[0..L] = bd(W_l) (2in_p, 2out_p) for the
     forward's dim-0 contraction (W^T h without a transpose — the
@@ -115,8 +130,7 @@ def _pg_kernel(L, tc, n_acc, do, da, dims, cdtype, *refs):
     ivcol (2dap, 1) f32, maskcol (2dap, 1) f32, binv (1, 1) f32 SMEM;
     (outputs): mu (tc, da, 2bn) f32, logp (tc, 1, 2bn) f32,
     M[0..L] packed gradient mats f32;
-    (scratch): acc[l] (n_acc, rows_l, cols_l) f32.
-    dims[l] = (in_pad, out_pad) per layer (padded HALF widths)."""
+    (scratch): acc[l] (n_acc, rows_l, cols_l) f32."""
     it = iter(refs)
     obs_ref, act_ref, adv_ref = next(it), next(it), next(it)
     Wf = [next(it) for _ in range(L + 1)]
@@ -171,9 +185,8 @@ def _pg_kernel(L, tc, n_acc, do, da, dims, cdtype, *refs):
         # per-sample stats (fp32, VPU): z^2*iv, logp, cotangents
         diff = a2.astype(f32) - mu2                     # pad rows 0
         sq_iv = diff * diff * ivcol[:]
-        # logp = -0.5 * (sum_j z_j^2 + 2*sum logstd + da*log(2pi));
-        # the constant rides in via maskcol outside-kernel assembly?
-        # No: constants are folded by the caller into logp_const.
+        # emit only the batch-dependent -0.5*sum_j z_j^2; the caller
+        # subtracts the constant (sum logstd + 0.5*da*log 2pi) outside
         s_top = jnp.sum(sq_iv[:dap], axis=0, keepdims=True)
         s_bot = jnp.sum(sq_iv[dap:], axis=0, keepdims=True)
         logp_ref[t] = -0.5 * jnp.concatenate([s_top, s_bot], axis=1)
@@ -294,7 +307,7 @@ def pallas_surrogate_grad_ff(params, obs_ff, act_ff, adv_ff,
     )
     scratch = [pltpu.VMEM((n_acc,) + s, f32) for s in M_shapes]
 
-    kernel = functools.partial(_pg_kernel, L, tc, n_acc, do, da, dims,
+    kernel = functools.partial(_pg_kernel, L, tc, n_acc, do, da,
                                cdtype)
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,

@@ -156,18 +156,17 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             # noise-to-slightly-worse at c2 (B = 102k, where the XLA
             # form's matmuls already overlap to ~0 marginal cost) —
             # scripts/probe_pg_kernel.py; gate at the measured
-            # crossover so tiny batches keep the twin
+            # crossover so tiny batches keep the twin. The gate uses
+            # the GLOBAL batch (local B x data-axis size) so a config
+            # picks the same impl sharded and unsharded.
+            B_glob = B * (jax.lax.axis_size(axis_name) if axis_name
+                          else 1)
             sg_impl = "pallas" if (jax.default_backend() == "tpu"
-                                   and B >= 400_000) else "xla"
+                                   and B_glob >= 400_000) else "xla"
         if sg_impl == "pallas":
             from ..ops.pallas.pg_kernel import (pallas_surrogate_grad_ff,
-                                                pg_tiles)
-            bn_pg, tc_pg = pg_tiles(T, N)
-            widths = [do, da] + [params[f"W{l}"].shape[1]
-                                 for l in range(policy.n_layers(params)
-                                                - 1)]
-            if not (bn_pg and N % (2 * bn_pg) == 0 and T % tc_pg == 0
-                    and max(widths) <= 64):
+                                                tiles_ok)
+            if not tiles_ok(T, N, params):
                 sg_impl = "xla"                 # no aligned tile
         if sg_impl == "pallas":
             g_tree, mu_old_ff, logp_old_ff = pallas_surrogate_grad_ff(
@@ -221,16 +220,20 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             # round 5: the ff-native FVP kernel consumes the strided
             # (T', do, N) subsample AS STORED — no relayout, no
             # per-call activation re-reads (in-kernel recompute) —
-            # ops/pallas/fvp_ff_kernel.py
+            # ops/pallas/fvp_ff_kernel.py. Gated (GLOBAL subsample
+            # size, like the surrgrad gate above) at the measured
+            # crossover: at c2 scale (B_sub ~ 26k) the relayout it
+            # deletes is microscopic while its extra association
+            # noise (7.5e-5 on Fv vs the batch-major kernel's 2.7e-7)
+            # flips the KL-boundary acceptance on many iterations —
+            # the batch-major kernel stays the right arm there.
             from ..ops.pallas.fvp_ff_kernel import make_pallas_gn_fvp_ff
-            from ..ops.pallas.pg_kernel import pg_tiles
+            from ..ops.pallas.pg_kernel import tiles_ok
             Ts = sub.shape[0]
-            bn_f, tc_f = pg_tiles(Ts, N)
-            widths = [do, da] + [params[f"W{l}"].shape[1]
-                                 for l in range(policy.n_layers(params)
-                                                - 1)]
-            if (bn_f and N % (2 * bn_f) == 0 and Ts % tc_f == 0
-                    and max(widths) <= 64):
+            B_sub = Ts * N * (jax.lax.axis_size(axis_name)
+                              if axis_name else 1)
+            forced = tr.fvp_impl == "pallas"    # explicit => no gate
+            if tiles_ok(Ts, N, params) and (forced or B_sub >= 64_000):
                 fvp = make_pallas_gn_fvp_ff(
                     params, unravel, sub, tr.cg_damping,
                     axis_name=axis_name,
