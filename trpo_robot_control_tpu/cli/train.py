@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--baseline", choices=("linear", "mlp"), default=None,
                     help="value baseline: linear ridge fit (default, "
                          "oracle parity) or small-MLP Adam refit")
+    ap.add_argument("--trpo", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override any TRPOSpec field, e.g. "
+                         "--trpo fvp_impl=xla --trpo cg_iters=20 "
+                         "--trpo delta=0.005 (repeatable; values are "
+                         "cast to the field's current type)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +67,18 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(trpo=dataclasses.replace(cfg.trpo,
                                                    baseline=args.baseline))
+    if args.trpo:
+        import dataclasses
+        over = {}
+        for kv in args.trpo:
+            key, _, raw = kv.partition("=")
+            if not _ or not hasattr(cfg.trpo, key):
+                sys.exit(f"--trpo: unknown TRPOSpec field {kv!r} "
+                         f"(fields: {[f.name for f in dataclasses.fields(cfg.trpo)]})")
+            cur = getattr(cfg.trpo, key)
+            over[key] = type(cur)(raw) if not isinstance(cur, str) \
+                else raw
+        cfg = cfg.replace(trpo=dataclasses.replace(cfg.trpo, **over))
 
     log = JsonlLogger(args.jsonl)
     from ..utils.checkpoint import config_hash
