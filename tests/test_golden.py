@@ -18,6 +18,8 @@ GOLDEN_ENGINE = os.path.join(os.path.dirname(__file__), "golden",
                              "engine_c1_seed0.npz")
 GOLDEN_PROD = os.path.join(os.path.dirname(__file__), "golden",
                            "engine_c3small_fused_seed0.npz")
+GOLDEN_PROD_K = os.path.join(os.path.dirname(__file__), "golden",
+                             "engine_c3small_fused_pg_fvpff_seed0.npz")
 
 
 def test_oracle_matches_golden_run():
@@ -57,13 +59,16 @@ def test_engine_matches_golden_run():
                                g["logstd"], rtol=1e-4)
 
 
-def run_production_stack(n_iters=5):
+def run_production_stack(n_iters=5, force_kernels=False):
     """c3-small through the PRODUCTION c3-c5 stack on the CPU backend:
     fused 3-D rollout kernel in interpret mode with eps-twin noise
     (pack2 ACTIVE at block 256, bf16 kernel emission) + the
     feature-first bf16 update path + stride-8 FVP subsampling.
-    Deterministic per seed; shared by the golden test and the
-    regeneration recipe (tests/golden/README.md)."""
+    force_kernels=True additionally forces the round-5 fused
+    surrogate-gradient and ff-native FVP kernels (interpret), pinning
+    the full five-kernel production composition. Deterministic per
+    seed; shared by the golden tests and the regeneration recipe
+    (tests/golden/README.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -80,9 +85,12 @@ def run_production_stack(n_iters=5):
     # moments_impl forced so the fused moments kernel's math is pinned
     # on the CPU backend too (auto resolves to the XLA twin off-TPU).
     import dataclasses
+    over = dict(moments_impl="pallas")
+    if force_kernels:
+        over.update(surrgrad_impl="pallas", fvp_impl="pallas")
     cfg = C3_FRANKA7.replace(
         n_envs=256, horizon=16,
-        trpo=dataclasses.replace(C3_FRANKA7.trpo, moments_impl="pallas"))
+        trpo=dataclasses.replace(C3_FRANKA7.trpo, **over))
     assert cfg.trpo.ff_store_dtype == "bf16"      # the shipped c3 mode
     assert cfg.trpo.ls_subsample == 8             # the shipped line search
     assert pack2_ok(cfg, 256), "must pin the pack2-active kernel"
@@ -117,6 +125,26 @@ def test_production_stack_matches_golden_run():
     or packing change in that stack now fails here on plain CPU."""
     params, hist = run_production_stack()
     g = np.load(GOLDEN_PROD)
+    np.testing.assert_array_equal([h["accepted"] for h in hist],
+                                  g["accepted"])
+    np.testing.assert_allclose([h["beta"] for h in hist], g["beta"],
+                               rtol=1e-4)
+    np.testing.assert_allclose([h["kl"] for h in hist], g["kl"],
+                               rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose([h["mean_return"] for h in hist],
+                               g["mean_return"], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(params["logstd"]),
+                               g["logstd"], rtol=1e-4)
+
+
+def test_production_stack_kernels_match_golden_run():
+    """Same pin with the round-5 fused surrogate-gradient and
+    ff-native FVP kernels FORCED (interpret): the five-kernel
+    production composition — any reassociation, packing, or layout
+    change in pg_kernel.py / fvp_ff_kernel.py now fails on plain CPU
+    rather than only in the on-chip checks."""
+    params, hist = run_production_stack(force_kernels=True)
+    g = np.load(GOLDEN_PROD_K)
     np.testing.assert_array_equal([h["accepted"] for h in hist],
                                   g["accepted"])
     np.testing.assert_allclose([h["beta"] for h in hist], g["beta"],
