@@ -47,6 +47,34 @@ def test_fvp_ff_matches_twin_fp32(T, do, da, N, bn, tc):
     assert err < 1e-5, err
 
 
+def test_fvp_ff_padded_hidden_widths():
+    """Non-multiple-of-8 hidden widths through the in-kernel recompute
+    + tangent + reverse pipeline (same padding contract as the pg
+    kernel's test). Exact vs the twin in fp32."""
+    key = jax.random.PRNGKey(12)
+    T, do, da, N = 8, 27, 7, 512
+    ks = jax.random.split(key, 6)
+    h0, h1 = 33, 57
+    params = {
+        "W0": 0.3 * jax.random.normal(ks[0], (do, h0)),
+        "b0": 0.1 * jax.random.normal(ks[1], (h0,)),
+        "W1": 0.3 * jax.random.normal(ks[2], (h0, h1)),
+        "b1": 0.1 * jax.random.normal(ks[3], (h1,)),
+        "W2": 0.3 * jax.random.normal(ks[4], (h1, da)),
+        "b2": 0.1 * jax.random.normal(ks[5], (da,)),
+        "logstd": -0.5 * jnp.ones((da,)),
+    }
+    theta, unravel = ravel_pytree(params)
+    obs_ff = jax.random.normal(ks[0], (T, do, N), jnp.float32)
+    v = jax.random.normal(ks[1], theta.shape)
+    obs_flat = jnp.transpose(obs_ff, (0, 2, 1)).reshape(-1, do)
+    r1 = make_gn_fvp(params, unravel, obs_flat, 0.1)(v)
+    r2 = make_pallas_gn_fvp_ff(params, unravel, obs_ff, 0.1,
+                               interpret=True)(v)
+    err = float(jnp.max(jnp.abs(r1 - r2)) / jnp.max(jnp.abs(r1)))
+    assert err < 1e-5, err
+
+
 def test_fvp_ff_bf16_bounded():
     """bf16 storage: direction error bounded, cosine ~1 (the CG
     consumer only needs the direction; tolerances mirror the

@@ -133,6 +133,38 @@ def test_pg_kernel_inside_update_fp32():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("hidden", [(48, 40), (33, 57)])
+def test_pg_kernel_padded_hidden_widths(hidden):
+    """Non-64 (and non-multiple-of-8) hidden widths exercise the
+    _round8 padding on every layer boundary: block-diag zero rows,
+    tanh(0) pad activations, and the fold-outside index arithmetic.
+    Exact vs the twin in fp32."""
+    key = jax.random.PRNGKey(11)
+    T, do, da, N = 8, 27, 7, 512
+    ks = jax.random.split(key, 6)
+    h0, h1 = hidden
+    params = {
+        "W0": 0.3 * jax.random.normal(ks[0], (do, h0)),
+        "b0": 0.1 * jax.random.normal(ks[1], (h0,)),
+        "W1": 0.3 * jax.random.normal(ks[2], (h0, h1)),
+        "b1": 0.1 * jax.random.normal(ks[3], (h1,)),
+        "W2": 0.3 * jax.random.normal(ks[4], (h1, da)),
+        "b2": 0.1 * jax.random.normal(ks[5], (da,)),
+        "logstd": -0.5 * jnp.ones((da,)),
+    }
+    obs, act, adv = _batch(key, T, do, da, N)
+    g1, mu1, lp1 = policy.surrogate_grad_ff(params, obs, act, adv)
+    g2, mu2, lp2 = pallas_surrogate_grad_ff(params, obs, act, adv,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                               atol=1e-5)
+    for k in g1:
+        scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-12
+        np.testing.assert_allclose(np.asarray(g2[k]) / scale,
+                                   np.asarray(g1[k]) / scale,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_pg_tiles_fallback():
     """Unalignable env counts report (0, _) and the update resolver
     falls back to the XLA twin rather than asserting."""
