@@ -93,3 +93,67 @@ def test_subsampled_convergence_ab():
     gain8 = np.mean(hist[8][-3:]) - np.mean(hist[8][:3])
     assert gain1 > 0, hist[1]
     assert gain8 > 0.85 * gain1, (hist[1], hist[8])
+
+
+def test_env_subsample_direction_cosine():
+    """fvp_env_subsample strides the i.i.d. ENV axis on top of the time
+    stride (round 5, scripts/measure_fvp_env_stride.py: the time
+    stride's cosine cliff is time-bias, not sample count, so large-N
+    configs shed surplus Fisher samples over envs). At c3-small scale
+    the env-only stride (t=1, e=4) must stay close to the exact
+    direction, and adding e=2 to the t=8 stride must not bend the
+    direction beyond the t-stride's own estimate (bounds from observed
+    margins; they catch a broken env-slice, not estimator noise)."""
+    def cfg(t_sub, e_sub, n_envs=192, horizon=24):
+        return C3_FRANKA7.replace(
+            n_envs=n_envs, horizon=horizon,
+            trpo=dataclasses.replace(C3_FRANKA7.trpo, fvp_subsample=t_sub,
+                                     fvp_env_subsample=e_sub))
+
+    base = cfg(1, 1)
+    state = init_state(base, seed=0)
+    batch = jax.jit(lambda p, k: arm.rollout(base, p, policy.sample, k))(
+        state.params, jax.random.PRNGKey(7))
+
+    def direction(c):
+        _, _, st = jax.jit(lambda p, w, b, c=c: trpo_update(
+            c, p, w, b, return_directions=True))(
+                state.params, state.w, batch)
+        return np.asarray(st["x"], np.float64)
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    x_exact = direction(base)
+    assert cos(x_exact, direction(cfg(1, 4))) > 0.96  # observed 0.983
+    x_t8 = direction(cfg(8, 1))
+    x_t8e2 = direction(cfg(8, 2))
+    assert cos(x_t8, x_t8e2) > 0.98  # observed 0.996
+
+
+def test_env_subsample_ff_kernel_path():
+    """The env stride composes with the feature-first batch and the
+    ff-native FVP kernel resolver (interpret on CPU): forced-pallas
+    rollout gives an (obs_ff, actions_ff) batch, and the env-strided
+    update must stay close to the unstrided one."""
+    def cfg(e_sub):
+        return C3_FRANKA7.replace(
+            n_envs=256, horizon=16, rollout_impl="pallas",
+            trpo=dataclasses.replace(C3_FRANKA7.trpo, fvp_subsample=8,
+                                     fvp_env_subsample=e_sub))
+
+    base = cfg(1)
+    state = init_state(base, seed=0)
+    rollout_fn = arm.make_rollout_fn(base)
+    batch = jax.jit(rollout_fn)(state.params, jax.random.PRNGKey(7))
+    assert "obs_ff" in batch
+
+    def direction(c):
+        _, _, st = jax.jit(lambda p, w, b, c=c: trpo_update(
+            c, p, w, b, return_directions=True))(
+                state.params, state.w, batch)
+        return np.asarray(st["x"], np.float64)
+
+    x1, x2 = direction(base), direction(cfg(2))
+    cos = x1 @ x2 / (np.linalg.norm(x1) * np.linalg.norm(x2))
+    assert cos > 0.99, cos  # observed 0.9977

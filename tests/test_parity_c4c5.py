@@ -29,10 +29,12 @@ import dataclasses
 C4 = C4_FRANKA7_OBSTACLE.replace(
     n_envs=12, horizon=20,
     trpo=dataclasses.replace(C4_FRANKA7_OBSTACLE.trpo, fvp_subsample=1,
+                             fvp_env_subsample=1,
                              ls_subsample=1))
 C5 = C5_MULTITASK.replace(
     n_envs=18, horizon=20,
     trpo=dataclasses.replace(C5_MULTITASK.trpo, fvp_subsample=1,
+                             fvp_env_subsample=1,
                              ls_subsample=1))
 
 

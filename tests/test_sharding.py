@@ -130,3 +130,28 @@ def test_mesh_axis_sizes(mesh8):
 def test_uneven_envs_rejected(mesh8):
     with pytest.raises(ValueError):
         make_sharded_train_step(CFG.replace(n_envs=30), mesh8)
+
+
+def test_sharded_update_env_subsample_equals_unsharded(mesh8):
+    """fvp_env_subsample's strided env set is sharding-invariant when
+    local N % k == 0 (round 5): per-shard [::k] unions to the global
+    [::k] set and the equal-count pmean of per-shard Fisher means
+    equals the global mean, so the env-strided update must match the
+    unsharded one within the usual reduction-order tolerance."""
+    import dataclasses
+    cfg = CFG.replace(trpo=dataclasses.replace(CFG.trpo,
+                                               fvp_env_subsample=2))
+    state, batch = _collect()
+    p1, _, st1 = jax.jit(lambda p, w, b: trpo_update(cfg, p, w, b))(
+        state.params, state.w, batch)
+
+    sharded = make_sharded_update(cfg, mesh8)
+    p2, _, st2 = sharded(state.params, state.w, shard_batch(mesh8, batch))
+
+    th1, _ = ravel_pytree(p1)
+    th2, _ = ravel_pytree(p2)
+    np.testing.assert_allclose(np.asarray(th1), np.asarray(th2),
+                               rtol=2e-3, atol=2e-4)
+    assert int(st1["accepted"]) == int(st2["accepted"])
+    np.testing.assert_allclose(float(st1["beta"]), float(st2["beta"]),
+                               rtol=2e-3)

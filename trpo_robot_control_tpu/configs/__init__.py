@@ -88,6 +88,18 @@ C2_REACHER3 = ExperimentConfig(
 # KL estimate within 2.7%, and a 40-iter full-scale c4 convergence A/B
 # indistinguishable from exact (last5 -87.2 vs -88.5). Saves one full
 # forward pass over the batch per candidate eval (~8.6 ms at c5).
+# fvp_env_subsample (round 5, scripts/measure_fvp_env_stride.py): the
+# t-stride cliff is TIME bias, not sample count (c4 t-20 keeps 164k
+# samples yet hits 0.986 while c3's clean t-8 subsample is only 102k),
+# so c4/c5 shed their surplus Fisher samples over the i.i.d. env axis
+# down to the c3-anchored ~100-200k: c4 e=4 (410k -> 102k samples;
+# cosine vs exact 0.9984/0.9992 across 2 seeds, vs e=1's own
+# 0.9989/0.9994), c5 e=8 (1.64M -> 205k; marginal cosine vs the
+# shipped t8 estimator 0.9997 — the exact comparator OOMs at c5 on one
+# chip, and c4 pins env-stride-vs-exact). Full-scale 40-iter A/Bs
+# indistinguishable both configs (c4 last5 -87.3 vs -86.8; c5 -198.8
+# vs -199.8, strided arm ahead i.e. inside noise). CG block cost drops
+# ~4x/8x; docs/performance.md "Round 5: env-strided Fisher".
 C3_FRANKA7 = ExperimentConfig(
     name="c3_franka7",
     arm=franka_like_arm(),
@@ -102,8 +114,8 @@ C4_FRANKA7_OBSTACLE = ExperimentConfig(
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001, obstacle_weight=1.0,
                   obstacle_radius=0.15),
-    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16",
-                  ls_subsample=8),
+    trpo=TRPOSpec(fvp_subsample=8, fvp_env_subsample=4,
+                  ff_store_dtype="bf16", ls_subsample=8),
     n_envs=16384, horizon=200, n_iters=300, seed=0,
 )
 
@@ -111,8 +123,8 @@ C5_MULTITASK = ExperimentConfig(
     name="c5_multitask",
     arm=franka_like_arm(),
     cost=CostSpec(ctrl_weight=0.001),
-    trpo=TRPOSpec(fvp_subsample=8, ff_store_dtype="bf16",
-                  ls_subsample=8),
+    trpo=TRPOSpec(fvp_subsample=8, fvp_env_subsample=8,
+                  ff_store_dtype="bf16", ls_subsample=8),
     n_envs=65536, horizon=200, n_iters=500, seed=0,
     n_tasks=3,
 )

@@ -141,6 +141,20 @@ class TRPOSpec:
     # subsample_factor). 1 = exact (parity configs); larger values trade
     # a little Fisher estimation noise for proportionally cheaper CG.
     fvp_subsample: int = 1
+    # Evaluate the Fisher on every k-th ENV on top of the time stride
+    # above (ff path only). The time stride's cosine cliff is a TIME-
+    # BIAS effect (c4 at t-stride 20 keeps 164k samples yet degrades to
+    # 0.986, while c3's t-stride 8 is clean at 102k samples — the
+    # sample COUNT is not the binding constraint near 100k), so large-N
+    # configs whose t-stride-8 subsample is still millions of samples
+    # can shed the surplus over the i.i.d. env axis instead: any fixed
+    # env subset is an unbiased Fisher estimator (same argument as
+    # ls_subsample), and with local N % k == 0 the strided env set is
+    # sharding-invariant. 1 = exact (parity configs); c5 adopts 8 and
+    # c4 adopts 4 from a measured decision (round 5,
+    # scripts/measure_fvp_env_stride.py — cosine + full-scale A/B;
+    # docs/performance.md).
+    fvp_env_subsample: int = 1
     # Evaluate the LINE-SEARCH acceptance tests (surrogate improvement
     # and mean KL <= delta) on every k-th sample. Both are batch
     # expectations, so like fvp_subsample this is an estimator change,

@@ -214,6 +214,18 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             "horizon %% fvp_subsample == 0; got T="
             f"{obs_ff.shape[0]}, k={tr.fvp_subsample}")
         sub = obs_ff[::tr.fvp_subsample]
+        if tr.fvp_env_subsample > 1:
+            # Env-axis stride on top of the time stride (unbiased —
+            # envs are i.i.d. by construction, same argument as
+            # ls_subsample below; the time stride alone is where the
+            # bias cliff lives, see TRPOSpec.fvp_env_subsample). XLA
+            # fuses both strides into the one gather that materialises
+            # the compact (T', do, N') subsample the kernels consume.
+            assert N % tr.fvp_env_subsample == 0, (
+                "fvp_env_subsample needs (local) n_envs % k == 0 so "
+                "the strided env set is sharding-invariant; got N="
+                f"{N}, k={tr.fvp_env_subsample}")
+            sub = sub[..., ::tr.fvp_env_subsample]
         # "pallas_bm" forces the batch-major kernel (the measurement /
         # fallback arm for the ff-native kernel's A/Bs)
         if impl == "pallas":
@@ -229,11 +241,11 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             # the batch-major kernel stays the right arm there.
             from ..ops.pallas.fvp_ff_kernel import make_pallas_gn_fvp_ff
             from ..ops.pallas.pg_kernel import tiles_ok
-            Ts = sub.shape[0]
-            B_sub = Ts * N * (jax.lax.axis_size(axis_name)
-                              if axis_name else 1)
+            Ts, Ns = sub.shape[0], sub.shape[2]
+            B_sub = Ts * Ns * (jax.lax.axis_size(axis_name)
+                               if axis_name else 1)
             forced = tr.fvp_impl == "pallas"    # explicit => no gate
-            if tiles_ok(Ts, N, params) and (forced or B_sub >= 64_000):
+            if tiles_ok(Ts, Ns, params) and (forced or B_sub >= 64_000):
                 fvp = make_pallas_gn_fvp_ff(
                     params, unravel, sub, tr.cg_damping,
                     axis_name=axis_name,
@@ -245,8 +257,16 @@ def trpo_update(cfg: ExperimentConfig, params, w, batch,
             obs_fvp = jnp.transpose(sub, (0, 2, 1)).reshape(-1, do) \
                 .astype(jnp.float32)
     else:
-        obs_fvp = obs_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 \
-            else obs_f
+        src_f = obs_f
+        if tr.fvp_env_subsample > 1:
+            # n-major layout: slice envs before flattening (obs is
+            # (N, T, do) here), matching the ff branch's env set.
+            assert N % tr.fvp_env_subsample == 0, (
+                "fvp_env_subsample needs (local) n_envs % k == 0; got "
+                f"N={N}, k={tr.fvp_env_subsample}")
+            src_f = obs[::tr.fvp_env_subsample].reshape(-1, do)
+        obs_fvp = src_f[::tr.fvp_subsample] if tr.fvp_subsample > 1 \
+            else src_f
     if fvp is None and impl in ("pallas", "pallas_bm"):
         from ..ops.pallas.fvp_kernel import make_pallas_gn_fvp
         fvp = make_pallas_gn_fvp(params, unravel, obs_fvp,
